@@ -1,0 +1,241 @@
+"""Configuration dataclasses + JSON model-config registry.
+
+Replaces the reference's argparse-flag duplication (train.py:241-286,
+test_last.py:161-192) and its JSON model-config scanner (model/clip.py:14-44)
+with one shared set of dataclasses. The on-disk JSON schema is kept compatible
+with the reference (``embed_dim`` / ``vision_cfg`` / ``text_cfg`` keys) so
+existing config files drop in unchanged.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+_CONFIG_DIR = os.path.join(os.path.dirname(__file__), "registry", "model_configs")
+
+
+@dataclass(frozen=True)
+class VisionConfig:
+    image_size: int = 336
+    patch_size: int = 14
+    width: int = 1024
+    layers: int = 24
+    head_width: int = 64
+    mlp_ratio: float = 4.0
+    output_dim: int = 768
+    # Fraction of patch tokens to drop during training. The reference configures
+    # 0.2 (model/model.py:29) but keeps the model permanently in eval mode
+    # (train.py:333, survey Q5) so it is never active; we default it off and
+    # expose it as an explicit training switch.
+    patch_dropout: float = 0.0
+
+    @property
+    def heads(self) -> int:
+        return self.width // self.head_width
+
+    @property
+    def grid(self) -> int:
+        return self.image_size // self.patch_size
+
+    @property
+    def num_patches(self) -> int:
+        return self.grid * self.grid
+
+
+@dataclass(frozen=True)
+class TextConfig:
+    context_length: int = 77
+    vocab_size: int = 49408
+    width: int = 768
+    heads: int = 12
+    layers: int = 12
+    output_dim: int = 768
+
+
+@dataclass(frozen=True)
+class CLIPConfig:
+    embed_dim: int = 768
+    vision: VisionConfig = field(default_factory=VisionConfig)
+    text: TextConfig = field(default_factory=TextConfig)
+    # The live reference model uses exact (erf) GELU: create_model builds
+    # CLIP(**cfg) with quick_gelu=False (model/clip.py:127) even though the
+    # OpenAI weights were trained with QuickGELU. We follow the live behavior
+    # by default and keep "quick_gelu" available.
+    act: str = "gelu"
+
+    def with_image_size(self, img_size: int) -> "CLIPConfig":
+        return dataclasses.replace(
+            self, vision=dataclasses.replace(self.vision, image_size=img_size)
+        )
+
+
+@dataclass(frozen=True)
+class AdapterConfig:
+    """AdaptedCLIP hyper-parameters (reference model/adapter.py:10-33)."""
+
+    text_adapt_weight: float = 0.1
+    image_adapt_weight: float = 0.1
+    text_adapt_until: int = 3
+    image_adapt_until: int = 6
+    levels: Sequence[int] = (6, 12, 18, 24)
+    relu: bool = False  # LeakyReLU after seg/det projections (ref --relu flag)
+
+
+@dataclass(frozen=True)
+class IQMConfig:
+    """IQM query-transformer config (reference model/iqm.py:453-494 defaults,
+    overridden to hidden 512 / 2 layers / 8 heads by train.py:280-282)."""
+
+    hidden_size: int = 512
+    num_hidden_layers: int = 2
+    num_attention_heads: int = 8
+    intermediate_size: int = 2048
+    hidden_act: str = "gelu"
+    hidden_dropout_prob: float = 0.1
+    attention_probs_dropout_prob: float = 0.1
+    layer_norm_eps: float = 1e-12
+    cross_attention_frequency: int = 1
+    encoder_hidden_size: int = 512  # projected visual tokens
+    text_encoder_hidden_size: int = 768  # text anchors
+    # Fusion weights for self/visual-cross/text-cross (model/iqm.py:311-315).
+    fuse_self: float = 0.4
+    fuse_visual: float = 0.3
+    fuse_text: float = 0.3
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Everything needed to build the adapted model."""
+
+    clip: CLIPConfig = field(default_factory=CLIPConfig)
+    adapter: AdapterConfig = field(default_factory=AdapterConfig)
+    iqm: IQMConfig = field(default_factory=IQMConfig)
+    surgery_until_layer: int = 20  # DAPM_replace depth (train.py:250)
+
+
+@dataclass
+class TrainConfig:
+    """Two-stage training schedule (reference train.py:240-286, 335-353)."""
+
+    dataset: str = "VisA"
+    img_size: int = 518
+    training_mode: str = "few_shot"  # or full_shot
+    shot: int = 32
+    text_batch_size: int = 16
+    image_batch_size: int = 2
+    text_epoch: int = 5
+    image_epoch: int = 20
+    text_lr: float = 1e-5
+    image_lr: float = 5e-4
+    iqm_lr_scale: float = 0.1
+    image_weight_decay: float = 1e-4
+    iqm_weight_decay: float = 1e-3
+    text_norm_weight: float = 0.1  # orthogonality regularizer (train.py:274)
+    iqm_loss_weight: float = 0.4
+    text_loss_weight: float = 0.6
+    det_loss_weight: float = 0.5
+    seed: int = 111
+    save_path: str = "ckpt/baseline"
+    # Fidelity switch for survey Q3: the reference's stage-1 loop reassigns the
+    # loss so only the deepest tapped level backprops (train.py:87-96). True
+    # reproduces that; False sums all levels.
+    stage1_last_level_only: bool = True
+    data_parallel: bool = True
+    compute_dtype: str = "bfloat16"
+
+
+@dataclass
+class EvalConfig:
+    dataset: str = "MVTec"
+    img_size: int = 518
+    batch_size: int = 32
+    seed: int = 111
+    save_path: str = "ckpt/baseline"
+    visualize: bool = False
+    iqm_weight: float = 0.4  # fusion weights (test_last.py:66-68)
+    text_weight: float = 0.6
+    compute_dtype: str = "bfloat16"
+
+
+# --------------------------------------------------------------------------
+# JSON model-config registry (schema-compatible with reference model/clip.py)
+# --------------------------------------------------------------------------
+
+def list_models() -> list:
+    """Enumerate model architectures from registry JSON files."""
+    names = []
+    if os.path.isdir(_CONFIG_DIR):
+        for fn in sorted(os.listdir(_CONFIG_DIR)):
+            if fn.endswith(".json"):
+                names.append(fn[: -len(".json")])
+    return names
+
+
+def get_model_config(model_name: str, img_size: Optional[int] = None) -> CLIPConfig:
+    """Load a CLIPConfig from the JSON registry.
+
+    Accepts the reference's JSON schema (embed_dim / vision_cfg / text_cfg,
+    model/model_configs/ViT-L-14-336.json) and optionally overrides the image
+    size, which implies positional-embedding resizing at weight-load time.
+    """
+    model_name = model_name.replace("/", "-")
+    path = os.path.join(_CONFIG_DIR, model_name + ".json")
+    if not os.path.isfile(path):
+        raise FileNotFoundError(
+            f"Model config for {model_name!r} not found; available: {list_models()}"
+        )
+    with open(path) as f:
+        raw = json.load(f)
+    v, t = raw["vision_cfg"], raw["text_cfg"]
+    vision = VisionConfig(
+        image_size=img_size or v["image_size"],
+        patch_size=v["patch_size"],
+        width=v["width"],
+        layers=v["layers"],
+        head_width=v.get("head_width", 64),
+        mlp_ratio=v.get("mlp_ratio", 4.0),
+        output_dim=raw["embed_dim"],
+        patch_dropout=v.get("patch_dropout", 0.0),
+    )
+    text = TextConfig(
+        context_length=t["context_length"],
+        vocab_size=t["vocab_size"],
+        width=t["width"],
+        heads=t["heads"],
+        layers=t["layers"],
+        output_dim=raw["embed_dim"],
+    )
+    return CLIPConfig(
+        embed_dim=raw["embed_dim"],
+        vision=vision,
+        text=text,
+        act="quick_gelu" if raw.get("quick_gelu") else "gelu",
+    )
+
+
+def tiny_test_config(img_size: int = 56) -> ModelConfig:
+    """A miniature model for unit tests and multi-chip dry runs."""
+    clip = CLIPConfig(
+        embed_dim=32,
+        vision=VisionConfig(
+            image_size=img_size, patch_size=14, width=64, layers=4, head_width=16,
+            output_dim=32,
+        ),
+        text=TextConfig(
+            context_length=77, vocab_size=49408, width=32, heads=4, layers=3,
+            output_dim=32,
+        ),
+    )
+    adapter = AdapterConfig(text_adapt_until=1, image_adapt_until=2, levels=(2, 4))
+    iqm = IQMConfig(
+        hidden_size=16, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=32, encoder_hidden_size=16, text_encoder_hidden_size=32,
+    )
+    return ModelConfig(clip=clip, adapter=adapter, iqm=iqm, surgery_until_layer=3)

@@ -1,0 +1,222 @@
+"""AdaptedCLIP — the central trainable model, functional JAX.
+
+Rebuilds reference model/adapter.py:10-304 with frozen CLIP params and
+trainable adapter params as *separate pytrees*:
+
+    apply(frozen, trainable, images, text_anchors) -> AdaptedOutputs
+
+Trainable pytree layout:
+  {
+    "image_adapter": {"layer_adapters": [..], "seg_proj": [..], "det_proj": {..}},
+    "text_adapter":  {"layers": [..], "proj": {..}},
+    "iqm": {...},                       # models/iqm.py
+    "class_query_mlp": {"fc1", "fc2"},
+    "query_adapters": [..],
+    "pos_embedding": (1, 2, hidden),    # only the 2 query slots are ever used
+    "visual_feature_proj": {w, b},      # FIXED vs reference Q2: trained+saved
+    "text_feature_proj": {w, b},        #   (lazily created / untrained in ref)
+    "query_proj": {w, b},               #   hidden->768, replaces the per-batch
+                                        #   random nn.Linear (train.py:176-179,
+                                        #   test_last.py:111-118)
+    "iqm_layer_norm": {scale, bias},
+  }
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Any, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..configs import ModelConfig
+from ..ops.layers import (
+    l2_normalize,
+    layer_norm,
+    leaky_relu,
+    linear,
+    norm_preserving_blend,
+    simple_adapter,
+    simple_proj,
+)
+from . import clip as clip_model
+from . import iqm as iqm_model
+
+
+def _xavier_uniform(rng, d_in, d_out):
+    a = math.sqrt(6.0 / (d_in + d_out))
+    return jax.random.uniform(rng, (d_in, d_out), jnp.float32, -a, a)
+
+
+def _xavier_linear(rng, d_in, d_out, bias=True):
+    p = {"w": _xavier_uniform(rng, d_in, d_out)}
+    if bias:
+        p["b"] = jnp.zeros((d_out,))
+    return p
+
+
+def init_adapter_params(rng, cfg: ModelConfig):
+    """Initialize the full trainable pytree (xavier-uniform weights, matching
+    AdaptedCLIP._init_weights_, model/adapter.py:107-123)."""
+    a = cfg.adapter
+    v_width = cfg.clip.vision.width
+    t_width = cfg.clip.text.width
+    out_dim = cfg.clip.embed_dim
+    hidden = cfg.iqm.hidden_size
+    n_levels = len(a.levels)
+
+    keys = iter(jax.random.split(rng, 64))
+
+    params = {
+        "image_adapter": {
+            "layer_adapters": [
+                _xavier_linear(next(keys), v_width, v_width, bias=False)
+                for _ in range(a.image_adapt_until)
+            ],
+            "seg_proj": [
+                _xavier_linear(next(keys), v_width, out_dim, bias=False)
+                for _ in range(n_levels)
+            ],
+            "det_proj": _xavier_linear(next(keys), v_width, out_dim, bias=False),
+        },
+        "text_adapter": {
+            "layers": [
+                _xavier_linear(next(keys), t_width, t_width, bias=False)
+                for _ in range(a.text_adapt_until)
+            ],
+            "proj": _xavier_linear(next(keys), t_width, t_width, bias=False),
+        },
+        "iqm": iqm_model.init_iqm_params(next(keys), cfg.iqm),
+        "class_query_mlp": {
+            "fc1": _xavier_linear(next(keys), v_width, hidden),
+            "fc2": _xavier_linear(next(keys), hidden, hidden),
+        },
+        "query_adapters": [
+            _xavier_linear(next(keys), v_width, hidden, bias=False)
+            for _ in range(n_levels)
+        ],
+        "pos_embedding": iqm_model.sinusoidal_positions(2, hidden),
+        "visual_feature_proj": _xavier_linear(next(keys), hidden, hidden),
+        "text_feature_proj": _xavier_linear(
+            next(keys), cfg.iqm.text_encoder_hidden_size,
+            cfg.iqm.text_encoder_hidden_size,
+        ),
+        "query_proj": _xavier_linear(next(keys), hidden, out_dim),
+        "iqm_layer_norm": {"scale": jnp.ones((hidden,)), "bias": jnp.zeros((hidden,))},
+    }
+    return params
+
+
+@dataclass
+class AdaptedOutputs:
+    seg_tokens: List[Any]        # per level: (B, L, embed_dim), L2-normalized
+    det_token: Any               # (B, embed_dim), L2-normalized + mean-pooled
+    iqm_queries: Optional[Any]   # (B, 2, iqm_hidden) or None
+    cls_raw: Any                 # (B, width) final-block CLS (pre ln_post)
+
+
+def encode_image_adapted(frozen, trainable, cfg: ModelConfig, images,
+                         text_anchors=None, compute_dtype=jnp.float32,
+                         use_pallas: bool = False) -> AdaptedOutputs:
+    """AdaptedCLIP.forward (model/adapter.py:137-271), functional.
+
+    text_anchors: (B, embed_dim, 2) per-sample anchors, or None to skip IQM.
+    """
+    a = cfg.adapter
+    vis = frozen["visual"]
+    ia = trainable["image_adapter"]
+
+    def adapter_hook(i, x):
+        if i < a.image_adapt_until:
+            adapted = simple_adapter(ia["layer_adapters"][i], x)
+            x = norm_preserving_blend(x, adapted, a.image_adapt_weight)
+        return x
+
+    _, taps, x_final = clip_model.vision_forward(
+        vis, cfg.clip.vision, images, out_layers=tuple(a.levels),
+        act_name=cfg.clip.act, adapter_hook=adapter_hook,
+        compute_dtype=compute_dtype, use_pallas=use_pallas,
+    )
+
+    # Patch tokens (CLS dropped) -> frozen ln_post (model/adapter.py:172-176).
+    tokens = [layer_norm(vis["ln_post"], t[:, 1:, :]) for t in taps]
+
+    seg_tokens = [
+        l2_normalize(simple_proj(ia["seg_proj"][i], t, a.relu))
+        for i, t in enumerate(tokens)
+    ]
+    det = simple_proj(ia["det_proj"], tokens[-1], a.relu)
+    det_token = jnp.mean(l2_normalize(det), axis=1)
+
+    iqm_queries = None
+    if text_anchors is not None:
+        iqm_queries = _iqm_branch(trainable, cfg, tokens, x_final, text_anchors)
+
+    return AdaptedOutputs(seg_tokens=seg_tokens, det_token=det_token,
+                          iqm_queries=iqm_queries, cls_raw=x_final[:, 0])
+
+
+def _iqm_branch(trainable, cfg: ModelConfig, tokens, x_final, text_anchors):
+    """IQM query pipeline (model/adapter.py:187-269) with fixed projections."""
+    mlp = trainable["class_query_mlp"]
+    cls_feature = x_final[:, 0]                                # (B, width)
+    q = linear(mlp["fc2"], jax.nn.relu(linear(mlp["fc1"], cls_feature)))
+    class_query = jnp.repeat(q[:, None, :], 2, axis=1)          # (B, 2, hidden)
+    query_embeds = class_query + trainable["pos_embedding"][:, :2, :].astype(q.dtype)
+
+    projected = [
+        simple_proj(trainable["query_adapters"][i], t, cfg.adapter.relu)
+        for i, t in enumerate(tokens)
+    ]
+    visual = jnp.concatenate(projected, axis=1)                 # (B, 4L, hidden)
+    visual = linear(trainable["visual_feature_proj"], visual)
+
+    # (B, embed_dim, 2) -> (B, 2, embed_dim), as model/adapter.py:226-238.
+    text = jnp.swapaxes(text_anchors, -1, -2)
+    text = linear(trainable["text_feature_proj"], text.astype(visual.dtype))
+
+    out = iqm_model.iqm_forward(trainable["iqm"], cfg.iqm, query_embeds,
+                                visual, text)
+    out = layer_norm(trainable["iqm_layer_norm"], out,
+                     eps=cfg.iqm.layer_norm_eps)
+    return out
+
+
+def project_queries(trainable, queries):
+    """Project IQM queries (B, 2, hidden) into patch-feature space
+    (B, 2, embed_dim) with the *trained* projection — the fix for the
+    reference's per-batch random nn.Linear (survey Q2)."""
+    return linear(trainable["query_proj"], queries)
+
+
+def encode_text_adapted(frozen, trainable, cfg: ModelConfig, tokens,
+                        compute_dtype=jnp.float32):
+    """AdaptedCLIP.encode_text (model/adapter.py:273-304): adapters with
+    norm-preserving blend on the first text_adapt_until layers; the final
+    SimpleProj(relu=True) replaces CLIP's text_projection."""
+    a = cfg.adapter
+    ta = trainable["text_adapter"]
+
+    def adapter_hook(i, x):
+        if i < a.text_adapt_until:
+            adapted = simple_adapter(ta["layers"][i], x)
+            x = norm_preserving_blend(x, adapted, a.text_adapt_weight)
+        return x
+
+    def final_proj(pooled):
+        return leaky_relu(linear(ta["proj"], pooled))
+
+    return clip_model.text_forward(
+        frozen["text"], cfg.clip.text, tokens, act_name=cfg.clip.act,
+        adapter_hook=adapter_hook, final_proj=final_proj,
+        compute_dtype=compute_dtype,
+    )
+
+
+def encode_text_frozen(frozen, cfg: ModelConfig, tokens, compute_dtype=jnp.float32):
+    """Raw CLIP text encoding (model/model.py:190-201)."""
+    return clip_model.text_forward(
+        frozen["text"], cfg.clip.text, tokens, act_name=cfg.clip.act,
+        compute_dtype=compute_dtype,
+    )

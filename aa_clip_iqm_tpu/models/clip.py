@@ -1,0 +1,263 @@
+"""Functional CLIP towers (ViT vision + text transformer) for TPU.
+
+Re-designs the reference's torch CLIP runtime (model/model.py,
+model/transformer.py) as pure functions over explicit parameter pytrees:
+
+  params = {
+    "visual": {patch_embed, class_embedding, positional_embedding, ln_pre,
+               blocks: [block...], ln_post, proj},
+    "text":   {token_embedding, positional_embedding, blocks: [block...],
+               ln_final, text_projection},
+    "logit_scale": (),
+  }
+  block = {ln_1, attn: {qkv: {w,b}, out: {w,b}}, ln_2,
+           mlp: {c_fc: {w,b}, c_proj: {w,b}}}
+
+TPU-first choices vs the reference:
+  - conv1 patchify (model/transformer.py:359-365) is a reshape + one matmul
+    (MXU) instead of a convolution; mathematically identical.
+  - multi-depth taps (`out_layers`, model/transformer.py:295-317) are plain
+    Python-level collection inside the unrolled block loop — static shapes,
+    no dynamic control flow under jit.
+  - CLIP-Surgery v-v attention + DAPM_replace (model/transformer.py:102-152,
+    406-425) become a per-block dispatch flag (`vv_from`): blocks at index >=
+    vv_from run value-value attention with the same weights. No module
+    mutation, no weight copies.
+  - LayerNorm computes in fp32; matmuls run in the caller-chosen compute
+    dtype (bf16 on TPU) with fp32 accumulation.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import CLIPConfig, TextConfig, VisionConfig
+from ..ops import attention as attn_ops
+from ..ops.layers import ACTIVATIONS, layer_norm, linear, mlp_block
+
+
+# --------------------------------------------------------------------------
+# Initialization
+# --------------------------------------------------------------------------
+
+def _init_linear(rng, d_in, d_out, std=None, bias=True):
+    k1, _ = jax.random.split(rng)
+    std = std if std is not None else (d_in ** -0.5)
+    p = {"w": jax.random.normal(k1, (d_in, d_out), jnp.float32) * std}
+    if bias:
+        p["b"] = jnp.zeros((d_out,), jnp.float32)
+    return p
+
+
+def _init_ln(dim):
+    return {"scale": jnp.ones((dim,), jnp.float32),
+            "bias": jnp.zeros((dim,), jnp.float32)}
+
+
+def _init_block(rng, width, mlp_ratio=4.0):
+    ks = jax.random.split(rng, 4)
+    hidden = int(width * mlp_ratio)
+    return {
+        "ln_1": _init_ln(width),
+        "attn": {
+            "qkv": _init_linear(ks[0], width, 3 * width),
+            "out": _init_linear(ks[1], width, width),
+        },
+        "ln_2": _init_ln(width),
+        "mlp": {
+            "c_fc": _init_linear(ks[2], width, hidden),
+            "c_proj": _init_linear(ks[3], hidden, width),
+        },
+    }
+
+
+def init_vision_params(rng, cfg: VisionConfig):
+    ks = jax.random.split(rng, cfg.layers + 4)
+    scale = cfg.width ** -0.5
+    patch_dim = 3 * cfg.patch_size * cfg.patch_size
+    return {
+        "patch_embed": {"w": jax.random.normal(ks[0], (patch_dim, cfg.width)) * scale},
+        "class_embedding": jax.random.normal(ks[1], (cfg.width,)) * scale,
+        "positional_embedding": (
+            jax.random.normal(ks[2], (cfg.num_patches + 1, cfg.width)) * scale
+        ),
+        "ln_pre": _init_ln(cfg.width),
+        "blocks": [
+            _init_block(ks[4 + i], cfg.width, cfg.mlp_ratio) for i in range(cfg.layers)
+        ],
+        "ln_post": _init_ln(cfg.width),
+        "proj": jax.random.normal(ks[3], (cfg.width, cfg.output_dim)) * scale,
+    }
+
+
+def init_text_params(rng, cfg: TextConfig):
+    ks = jax.random.split(rng, cfg.layers + 3)
+    return {
+        "token_embedding": jax.random.normal(ks[0], (cfg.vocab_size, cfg.width)) * 0.02,
+        "positional_embedding": (
+            jax.random.normal(ks[1], (cfg.context_length, cfg.width)) * 0.01
+        ),
+        "blocks": [_init_block(ks[3 + i], cfg.width) for i in range(cfg.layers)],
+        "ln_final": _init_ln(cfg.width),
+        "text_projection": (
+            jax.random.normal(ks[2], (cfg.width, cfg.output_dim)) * cfg.width ** -0.5
+        ),
+    }
+
+
+def init_clip_params(rng, cfg: CLIPConfig):
+    kv, kt = jax.random.split(rng)
+    return {
+        "visual": init_vision_params(kv, cfg.vision),
+        "text": init_text_params(kt, cfg.text),
+        "logit_scale": jnp.asarray(math.log(1 / 0.07), jnp.float32),
+    }
+
+
+# --------------------------------------------------------------------------
+# Forward passes
+# --------------------------------------------------------------------------
+
+def patchify(params, images, patch_size: int):
+    """(B, 3, H, W) -> (B, L, width) via reshape + matmul (== strided conv)."""
+    b, c, h, w = images.shape
+    gh, gw = h // patch_size, w // patch_size
+    x = images.reshape(b, c, gh, patch_size, gw, patch_size)
+    x = x.transpose(0, 2, 4, 1, 3, 5).reshape(b, gh * gw, c * patch_size * patch_size)
+    return linear(params["patch_embed"], x)
+
+
+def _run_block(block, x, num_heads, act, attn_mask=None, vv=False,
+               use_pallas=False):
+    """Pre-norm residual attention block (model/transformer.py:239-258).
+
+    When ``vv`` is set the attention is the CLIP-Surgery value-value variant
+    and the original-path output is not computed at all (the reference computes
+    and discards it, model/transformer.py:148-152).
+    """
+    h = layer_norm(block["ln_1"], x)
+    if vv:
+        a = attn_ops.vv_attention(block["attn"], h, num_heads, use_pallas=use_pallas)
+    else:
+        a = attn_ops.mha(block["attn"], h, num_heads, attn_mask=attn_mask,
+                         use_pallas=use_pallas)
+    x = x + a
+    x = x + mlp_block(block["mlp"], layer_norm(block["ln_2"], x), act)
+    return x
+
+
+def vision_forward(
+    params,
+    cfg: VisionConfig,
+    images,
+    out_layers: Sequence[int] = (),
+    act_name: str = "gelu",
+    vv_from: Optional[int] = None,
+    adapter_hook=None,
+    compute_dtype=jnp.float32,
+    use_pallas: bool = False,
+):
+    """ViT forward with multi-depth taps.
+
+    Args:
+      out_layers: 1-based layer indices whose full token outputs (incl. CLS)
+        are collected, parity with Transformer.forward(out_layers)
+        (model/transformer.py:295-317).
+      vv_from: 0-based block index from which attention is value-value
+        (surgery). DAPM_replace(DPAM_layer=k) == vv_from = layers - (k - 1).
+      adapter_hook: optional fn(layer_idx, x) -> x applied after each block
+        (used by AdaptedCLIP for residual adapters on early layers).
+
+    Returns: (pooled (B, output_dim), taps list of (B, L+1, width), final x).
+    """
+    x = patchify(params, images.astype(compute_dtype), cfg.patch_size)
+    b = x.shape[0]
+    cls = params["class_embedding"].astype(compute_dtype)
+    cls = jnp.broadcast_to(cls, (b, 1, cfg.width))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["positional_embedding"].astype(compute_dtype)
+    x = layer_norm(params["ln_pre"], x)
+
+    act = ACTIVATIONS[act_name]
+    taps = []
+    for i, block in enumerate(params["blocks"]):
+        vv = vv_from is not None and i >= vv_from
+        x = _run_block(block, x, cfg.heads, act, vv=vv, use_pallas=use_pallas)
+        if adapter_hook is not None:
+            x = adapter_hook(i, x)
+        if (i + 1) in out_layers:
+            taps.append(x)
+
+    pooled = layer_norm(params["ln_post"], x[:, 0])
+    pooled = jnp.dot(pooled, params["proj"].astype(pooled.dtype),
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    return pooled, taps, x
+
+
+def text_forward(
+    params,
+    cfg: TextConfig,
+    tokens,
+    act_name: str = "gelu",
+    adapter_hook=None,
+    final_proj="clip",
+    compute_dtype=jnp.float32,
+):
+    """Text transformer, parity with CLIP.encode_text (model/model.py:190-201).
+
+    Args:
+      tokens: (B, ctx) int32 token ids (0-padded, EOT = max id in row).
+      adapter_hook: optional fn(layer_idx, x) -> x after each block.
+      final_proj: "clip" -> pooled @ text_projection;
+                  callable -> applied to pooled ln_final output instead
+                  (AdaptedCLIP replaces the projection with a trained
+                  SimpleProj, model/adapter.py:299).
+
+    Returns pooled (B, output_dim or proj output dim).
+    """
+    x = params["token_embedding"][tokens].astype(compute_dtype)
+    x = x + params["positional_embedding"].astype(compute_dtype)
+    mask = attn_ops.causal_mask(cfg.context_length)
+    act = ACTIVATIONS[act_name]
+    for i, block in enumerate(params["blocks"]):
+        x = _run_block(block, x, cfg.heads, act, attn_mask=mask)
+        if adapter_hook is not None:
+            x = adapter_hook(i, x)
+    x = layer_norm(params["ln_final"], x)
+    eot = jnp.argmax(tokens, axis=-1)
+    pooled = x[jnp.arange(x.shape[0]), eot]
+    if final_proj == "clip":
+        return jnp.dot(pooled, params["text_projection"].astype(pooled.dtype),
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+    return final_proj(pooled)
+
+
+def surgery_vv_from(num_layers: int, dpam_layer: int) -> int:
+    """0-based first v-v block index for DAPM_replace(dpam_layer)
+    (model/transformer.py:406-425 replaces the last dpam_layer-1 blocks)."""
+    return num_layers - (dpam_layer - 1)
+
+
+# --------------------------------------------------------------------------
+# Positional-embedding resize (load-time, host-side numpy)
+# --------------------------------------------------------------------------
+
+def resize_pos_embed_np(pos_embed: np.ndarray, new_grid: int) -> np.ndarray:
+    """Bicubic-resize the (L+1, width) positional embedding to a new grid,
+    parity with resize_pos_embed (model/model.py:396-427): bicubic,
+    antialias=True, align_corners=False; CLS row passes through."""
+    from ..ops.interp import resize_grid_bicubic
+
+    tok, img = pos_embed[:1], pos_embed[1:]
+    old_grid = int(round(math.sqrt(img.shape[0])))
+    if old_grid * old_grid != img.shape[0]:
+        raise ValueError(f"pos embed length {img.shape[0]} not square")
+    if old_grid == new_grid:
+        return pos_embed
+    grid = img.reshape(old_grid, old_grid, -1)
+    resized = resize_grid_bicubic(grid, (new_grid, new_grid), antialias=True)
+    return np.concatenate([tok, resized.reshape(new_grid * new_grid, -1)], axis=0)

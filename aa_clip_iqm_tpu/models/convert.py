@@ -1,0 +1,184 @@
+"""OpenAI CLIP checkpoint -> JAX parameter pytree converter.
+
+The reference loads `model/ViT-L-14-336px.pt` via torch (model/openai.py:17-136,
+model/clip.py:107-132) and bicubic-resizes the visual positional embedding for
+non-native image sizes (model/model.py:396-427). This module performs the same
+load host-side with torch-CPU (or a plain state-dict of numpy arrays), maps the
+weights into our functional layout (see models/clip.py docstring), and resizes
+the pos-embed with our bicubic operator.
+
+Weight-layout notes (torch -> ours):
+  - nn.Linear weight (out, in)  -> w (in, out): transpose.
+  - MultiheadAttention in_proj_weight (3d, d) -> qkv.w (d, 3d): transpose
+    (q/k/v chunk order is preserved by the transpose).
+  - conv1 weight (width, 3, p, p) -> patch_embed.w (3*p*p, width): the
+    flattened (c, ph, pw) order matches our patchify token layout.
+
+Also supports saving/loading the converted pytree as a flat .npz so torch is
+only needed once.
+"""
+from __future__ import annotations
+
+import io
+import os
+from typing import Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import CLIPConfig
+from .clip import resize_pos_embed_np
+
+
+def _t(x):
+    return np.ascontiguousarray(np.asarray(x, dtype=np.float32).T)
+
+
+def _ln(sd, prefix):
+    return {"scale": np.asarray(sd[prefix + ".weight"], np.float32),
+            "bias": np.asarray(sd[prefix + ".bias"], np.float32)}
+
+
+def _block(sd, prefix):
+    return {
+        "ln_1": _ln(sd, prefix + ".ln_1"),
+        "attn": {
+            "qkv": {"w": _t(sd[prefix + ".attn.in_proj_weight"]),
+                    "b": np.asarray(sd[prefix + ".attn.in_proj_bias"], np.float32)},
+            "out": {"w": _t(sd[prefix + ".attn.out_proj.weight"]),
+                    "b": np.asarray(sd[prefix + ".attn.out_proj.bias"], np.float32)},
+        },
+        "ln_2": _ln(sd, prefix + ".ln_2"),
+        "mlp": {
+            "c_fc": {"w": _t(sd[prefix + ".mlp.c_fc.weight"]),
+                     "b": np.asarray(sd[prefix + ".mlp.c_fc.bias"], np.float32)},
+            "c_proj": {"w": _t(sd[prefix + ".mlp.c_proj.weight"]),
+                       "b": np.asarray(sd[prefix + ".mlp.c_proj.bias"], np.float32)},
+        },
+    }
+
+
+def torch_state_dict_to_params(sd: Dict[str, "np.ndarray"], cfg: CLIPConfig):
+    """Map an OpenAI CLIP state dict (numpy-valued) into our pytree, resizing
+    the visual positional embedding to cfg.vision.image_size."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+
+    n_vis = cfg.vision.layers
+    conv_w = np.asarray(sd["visual.conv1.weight"], np.float32)
+    width = conv_w.shape[0]
+    patch_embed_w = np.ascontiguousarray(conv_w.reshape(width, -1).T)
+
+    pos = np.asarray(sd["visual.positional_embedding"], np.float32)
+    pos = resize_pos_embed_np(pos, cfg.vision.grid)
+
+    visual = {
+        "patch_embed": {"w": patch_embed_w},
+        "class_embedding": np.asarray(sd["visual.class_embedding"], np.float32),
+        "positional_embedding": pos,
+        "ln_pre": _ln(sd, "visual.ln_pre"),
+        "blocks": [_block(sd, f"visual.transformer.resblocks.{i}")
+                   for i in range(n_vis)],
+        "ln_post": _ln(sd, "visual.ln_post"),
+        "proj": np.asarray(sd["visual.proj"], np.float32),
+    }
+    text = {
+        "token_embedding": np.asarray(sd["token_embedding.weight"], np.float32),
+        "positional_embedding": np.asarray(sd["positional_embedding"], np.float32),
+        "blocks": [_block(sd, f"transformer.resblocks.{i}")
+                   for i in range(cfg.text.layers)],
+        "ln_final": _ln(sd, "ln_final"),
+        "text_projection": np.asarray(sd["text_projection"], np.float32),
+    }
+    params = {
+        "visual": visual,
+        "text": text,
+        "logit_scale": np.asarray(sd.get("logit_scale", np.log(1 / 0.07)),
+                                  np.float32),
+    }
+    return _to_jax(params)
+
+
+def _to_jax(tree):
+    if isinstance(tree, dict):
+        return {k: _to_jax(v) for k, v in tree.items()}
+    if isinstance(tree, list):
+        return [_to_jax(v) for v in tree]
+    return jnp.asarray(tree)
+
+
+def load_openai_checkpoint(path: str, cfg: CLIPConfig):
+    """Load an OpenAI .pt checkpoint (JIT archive or plain state dict) via
+    torch-CPU and convert. Parity with load_openai_model (model/openai.py)."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(obj, "state_dict"):
+        sd = obj.state_dict()  # TorchScript JIT archive
+    elif isinstance(obj, dict) and "state_dict" in obj:
+        sd = obj["state_dict"]
+    else:
+        sd = obj
+    sd = {k: v.float().numpy() if hasattr(v, "numpy") else np.asarray(v)
+          for k, v in sd.items()}
+    sd.pop("input_resolution", None)
+    sd.pop("context_length", None)
+    sd.pop("vocab_size", None)
+    return torch_state_dict_to_params(sd, cfg)
+
+
+# --------------------------------------------------------------------------
+# Flat npz round-trip (torch-free cache of the converted backbone)
+# --------------------------------------------------------------------------
+
+def _flatten(tree, prefix=""):
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            yield from _flatten(v, f"{prefix}{k}/")
+    elif isinstance(tree, list):
+        for i, v in enumerate(tree):
+            yield from _flatten(v, f"{prefix}{i}/")
+    else:
+        yield prefix[:-1], np.asarray(tree)
+
+
+def save_params_npz(params, path: str):
+    flat = dict(_flatten(params))
+    buf = io.BytesIO()
+    np.savez(buf, **flat)
+    with open(path, "wb") as f:
+        f.write(buf.getvalue())
+
+
+def load_params_npz(path: str):
+    with np.load(path) as data:
+        flat = {k: data[k] for k in data.files}
+    root: dict = {}
+    for key, val in flat.items():
+        parts = key.split("/")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+
+    def listify(node):
+        if isinstance(node, dict):
+            keys = list(node.keys())
+            if keys and all(k.isdigit() for k in keys):
+                return [listify(node[str(i)]) for i in range(len(keys))]
+            return {k: listify(v) for k, v in node.items()}
+        return jnp.asarray(node)
+
+    return listify(root)
+
+
+def find_backbone(model_name: str = "ViT-L-14-336",
+                  search_dirs=(".", "weights", os.path.expanduser("~"))):
+    """Locate a usable backbone checkpoint (.npz cache preferred, else .pt)."""
+    names = [f"{model_name}.npz", f"{model_name}px.npz",
+             f"{model_name}px.pt", f"{model_name}.pt"]
+    for d in search_dirs:
+        for n in names:
+            p = os.path.join(d, n)
+            if os.path.isfile(p):
+                return p
+    return None

@@ -1,0 +1,108 @@
+"""Multi-head attention ops: XLA reference path + CLIP-Surgery v-v variant.
+
+Weight layout: packed qkv as in torch nn.MultiheadAttention
+(in_proj_weight/in_proj_bias, reference model/transformer.py:200), stored
+transposed for right-multiplication:
+    params = {"qkv": {"w": (d, 3d), "b": (3d,)}, "out": {"w": (d, d), "b": (d,)}}
+
+The v-v "surgery" attention (reference model/transformer.py:102-152) replaces
+queries and keys by values: attn = softmax((v @ v^T) * scale) @ v. After
+DAPM_replace, the residual block's attention output is the v-v path (the
+original-path output is computed and discarded by the reference, :148-152);
+we simply don't compute it.
+
+A fused Pallas flash-attention kernel lives in :mod:`.pallas_attention`; this
+module dispatches to it for long sequences on TPU and falls back to the XLA
+path elsewhere.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .layers import linear
+
+
+def _split_heads(x, num_heads):
+    b, l, d = x.shape
+    return x.reshape(b, l, num_heads, d // num_heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x):
+    b, h, l, hd = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, l, h * hd)
+
+
+def qkv_project(params, x):
+    y = linear(params["qkv"], x)
+    return jnp.split(y, 3, axis=-1)
+
+
+def sdpa(q, k, v, scale, attn_mask=None):
+    """Scaled dot-product attention; softmax in fp32.
+
+    q,k,v: (B, H, L, hd). attn_mask: additive (Lq, Lk) or broadcastable.
+    """
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if attn_mask is not None:
+        logits = logits + attn_mask.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(v.dtype)
+
+
+def mha(params, x, num_heads: int, attn_mask=None, use_pallas: bool = False):
+    """Standard self-attention block core (torch MultiheadAttention parity)."""
+    q, k, v = qkv_project(params, x)
+    hd = x.shape[-1] // num_heads
+    scale = hd ** -0.5
+    qh, kh, vh = (_split_heads(t, num_heads) for t in (q, k, v))
+    if use_pallas:
+        from .pallas_attention import flash_mha
+        out = flash_mha(qh, kh, vh, scale, attn_mask=attn_mask)
+    else:
+        out = sdpa(qh, kh, vh, scale, attn_mask)
+    return linear(params["out"], _merge_heads(out))
+
+
+def vv_attention(params, x, num_heads: int, use_pallas: bool = False):
+    """CLIP-Surgery value-value attention (q = k = v)."""
+    _, _, v = qkv_project(params, x)
+    hd = x.shape[-1] // num_heads
+    scale = hd ** -0.5
+    vh = _split_heads(v, num_heads)
+    if use_pallas:
+        from .pallas_attention import flash_mha
+        out = flash_mha(vh, vh, vh, scale)
+    else:
+        out = sdpa(vh, vh, vh, scale)
+    return linear(params["out"], _merge_heads(out))
+
+
+def causal_mask(length: int, dtype=jnp.float32):
+    """Additive causal mask (upper-triangular -inf), torch build_attention_mask
+    parity (model/transformer.py:629-635)."""
+    mask = jnp.full((length, length), -jnp.inf, dtype=dtype)
+    return jnp.triu(mask, k=1)
+
+
+def cross_attention(params, q_in, kv_in, num_heads: int, attn_mask=None):
+    """Separate q/k/v projections (used by IQM, reference iqm.py:23-139).
+
+    params: {"q": {...}, "k": {...}, "v": {...}, "out": {...}} — "out" optional.
+    """
+    q = linear(params["q"], q_in)
+    k = linear(params["k"], kv_in)
+    v = linear(params["v"], kv_in)
+    hd = q.shape[-1] // num_heads
+    scale = hd ** -0.5
+    out = sdpa(
+        _split_heads(q, num_heads),
+        _split_heads(k, num_heads),
+        _split_heads(v, num_heads),
+        scale,
+        attn_mask,
+    )
+    return _merge_heads(out)

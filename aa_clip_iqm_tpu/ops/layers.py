@@ -1,0 +1,88 @@
+"""Elementary transformer layers as pure functions on param dicts.
+
+Numerics mirror the reference's torch modules where parity matters:
+  - LayerNorm computes in float32 and casts back (model/transformer.py:26-43).
+  - QuickGELU is x * sigmoid(1.702 x) (model/transformer.py:46-49); the live
+    reference model actually runs exact erf-GELU (see configs.CLIPConfig.act).
+  - SimpleAdapter / SimpleProj are bias-free Linears with optional LeakyReLU
+    (negative slope 0.01, torch default) (model/adapter_modules.py:6-26).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def layer_norm(params, x, eps: float = 1e-5):
+    """Float32 LayerNorm over the last axis, cast back to x.dtype."""
+    orig_dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * params["scale"].astype(jnp.float32) + params["bias"].astype(jnp.float32)
+    return y.astype(orig_dtype)
+
+
+def gelu(x):
+    """Exact (erf) GELU — matches torch.nn.GELU default."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def quick_gelu(x):
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+ACTIVATIONS = {"gelu": gelu, "quick_gelu": quick_gelu}
+
+
+def linear(params, x, precision=None):
+    """y = x @ W + b. W stored (in, out)."""
+    y = jnp.dot(x, params["w"].astype(x.dtype), precision=precision,
+                preferred_element_type=jnp.float32)
+    if "b" in params and params["b"] is not None:
+        y = y + params["b"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def leaky_relu(x, negative_slope: float = 0.01):
+    return jnp.where(x >= 0, x, negative_slope * x)
+
+
+def simple_adapter(params, x):
+    """Bias-free Linear + LeakyReLU (reference SimpleAdapter)."""
+    return leaky_relu(linear(params, x))
+
+
+def simple_proj(params, x, relu: bool):
+    """Bias-free Linear, optional LeakyReLU (reference SimpleProj)."""
+    y = linear(params, x)
+    return leaky_relu(y) if relu else y
+
+
+def l2_normalize(x, axis: int = -1, eps: float = 0.0):
+    n = jnp.linalg.norm(x.astype(jnp.float32), axis=axis, keepdims=True)
+    if eps:
+        n = jnp.maximum(n, eps)
+    return (x.astype(jnp.float32) / n).astype(x.dtype)
+
+
+def norm_preserving_blend(x, adapted, weight: float):
+    """x <- w * adapted * |x|/|adapted| + (1-w) * x.
+
+    The norm-preserving residual blend used around every adapter
+    (model/adapter.py:163-170, :288-295). Computed in float32 for stability.
+    """
+    x32 = x.astype(jnp.float32)
+    a32 = adapted.astype(jnp.float32)
+    xn = jnp.linalg.norm(x32, axis=-1, keepdims=True)
+    an = jnp.linalg.norm(a32, axis=-1, keepdims=True)
+    out = weight * (a32 * xn / an) + (1.0 - weight) * x32
+    return out.astype(x.dtype)
+
+
+def mlp_block(params, x, act):
+    """Transformer MLP: c_fc -> act -> c_proj."""
+    h = linear(params["c_fc"], x)
+    h = act(h)
+    return linear(params["c_proj"], h)

@@ -1,0 +1,130 @@
+"""Evaluation metrics: exact rank-based AUROC / average precision.
+
+sklearn-parity implementations (validated in tests against
+sklearn.metrics.roc_auc_score / average_precision_score, the reference's
+metric backend — forward_utils.py:288-296) that run on-device, so the
+518^2 x N pixel score tensors never round-trip to the host for ranking.
+
+AUROC: Mann-Whitney U with midrank tie correction,
+    AUC = (sum of positive midranks - P(P+1)/2) / (P * N_neg).
+AP: AP = (1/P) * sum over positives of precision at that element's score
+    threshold (>= semantics), which collapses tie groups exactly like
+    sklearn's step-function integral.
+
+Both reduce to one sort of all scores + one sort of positive scores +
+searchsorted lookups — O(n log n) on the MXU-adjacent sort unit, no host work.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def auroc(scores, labels):
+    """scores: (N,) float; labels: (N,) {0,1}. Returns scalar float32."""
+    scores = scores.reshape(-1).astype(jnp.float32)
+    labels = labels.reshape(-1).astype(jnp.float32)
+    n = scores.shape[0]
+    sorted_scores = jnp.sort(scores)
+    left = jnp.searchsorted(sorted_scores, scores, side="left").astype(jnp.float32)
+    right = jnp.searchsorted(sorted_scores, scores, side="right").astype(jnp.float32)
+    midrank = (left + right + 1.0) * 0.5
+    p = jnp.sum(labels)
+    neg = n - p
+    pos_rank_sum = jnp.sum(midrank * labels)
+    return (pos_rank_sum - p * (p + 1.0) * 0.5) / (p * neg)
+
+
+def average_precision(scores, labels):
+    """sklearn average_precision_score parity."""
+    scores = scores.reshape(-1).astype(jnp.float32)
+    labels = labels.reshape(-1).astype(jnp.float32)
+    n = scores.shape[0]
+    p = jnp.sum(labels)
+    sorted_all = jnp.sort(scores)
+    # Sort positives to the back so a fixed-size sorted array works under jit:
+    # negatives become -inf and never affect "#positives >= v" counts.
+    pos_scores = jnp.where(labels > 0, scores, -jnp.inf)
+    sorted_pos = jnp.sort(pos_scores)
+    n_ge = n - jnp.searchsorted(sorted_all, scores, side="left").astype(jnp.float32)
+    tp = n - jnp.searchsorted(sorted_pos, scores, side="left").astype(jnp.float32)
+    precision = tp / n_ge
+    return jnp.sum(precision * labels) / p
+
+
+@jax.jit
+def auroc_ap(scores, labels):
+    return auroc(scores, labels), average_precision(scores, labels)
+
+
+def image_score_aggregate(pixel_preds, image_logits, domain: str):
+    """Reference image-score fusion (forward_utils.py:277-282):
+    Medical -> max of pixel map; else 0.5*max(pixel map) + 0.5*image logit."""
+    pmax = jnp.max(pixel_preds.reshape(pixel_preds.shape[0], -1), axis=1)
+    if domain == "Medical":
+        return pmax
+    return 0.5 * pmax + 0.5 * image_logits
+
+
+def minmax_normalize(x):
+    """Reference min-max normalization (forward_utils.py:246-253), applied
+    only when max(x) != 1."""
+    x = np.asarray(x, dtype=np.float32)
+    if x.max() != 1:
+        rng = x.max() - x.min()
+        x = (x - x.min()) / rng if rng else np.zeros_like(x)
+    return x
+
+
+def metrics_eval(pixel_label, image_label, pixel_preds, image_preds,
+                 class_name: str, domain: str, use_device: bool = True):
+    """Per-class metric dict, parity with forward_utils.py:233-308.
+
+    pixel_label: (N,1,H,W) or (N,H,W); image_label: (N,); pixel_preds:
+    (N,H,W) or (N,1,H,W); image_preds: (N,).
+    """
+    pixel_label = np.asarray(pixel_label)
+    image_label = np.asarray(image_label)
+    pixel_preds = minmax_normalize(pixel_preds)
+    image_preds = minmax_normalize(image_preds)
+    if pixel_preds.ndim == 4 and pixel_preds.shape[1] == 1:
+        pixel_preds = pixel_preds[:, 0]
+    if image_preds.ndim > 1:
+        image_preds = image_preds.reshape(-1)
+
+    pmax = pixel_preds.max(axis=(1, 2))
+    if domain != "Medical":
+        image_scores = pmax * 0.5 + image_preds * 0.5
+    else:
+        image_scores = pmax
+
+    pl = (pixel_label.reshape(-1) != 0).astype(np.float32)
+    pp = pixel_preds.reshape(-1)
+    if use_device:
+        pix_auc, pix_ap = (float(v) for v in auroc_ap(jnp.asarray(pp), jnp.asarray(pl)))
+    else:
+        from sklearn.metrics import average_precision_score, roc_auc_score
+        pix_auc = float(roc_auc_score(pl, pp))
+        pix_ap = float(average_precision_score(pl, pp))
+
+    if image_label.max() != image_label.min():
+        il = image_label.reshape(-1).astype(np.float32)
+        if use_device:
+            img_auc, img_ap = (
+                float(v) for v in auroc_ap(jnp.asarray(image_scores), jnp.asarray(il))
+            )
+        else:
+            from sklearn.metrics import average_precision_score, roc_auc_score
+            img_auc = float(roc_auc_score(il, image_scores))
+            img_ap = float(average_precision_score(il, image_scores))
+    else:
+        img_auc, img_ap = 0.0, 0.0
+
+    return {
+        "class name": class_name,
+        "pixel AUC": round(pix_auc, 4) * 100,
+        "pixel AP": round(pix_ap, 4) * 100,
+        "image AUC": round(img_auc, 4) * 100,
+        "image AP": round(img_ap, 4) * 100,
+    }
