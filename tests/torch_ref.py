@@ -1,0 +1,152 @@
+"""Functional-torch reference implementations for parity testing.
+
+Implements the OpenAI-CLIP forward semantics (pre-norm ViT with CLS token and
+multi-depth taps, causal text transformer with EOT pooling, value-value
+surgery attention) directly from the architecture spec, operating on an
+OpenAI-style state dict. Used to validate the JAX forward + weight converter
+end-to-end on random weights without needing the real checkpoint.
+"""
+import math
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+
+def make_clip_state_dict(rng, v_layers=3, v_width=64, v_patch=14, v_grid=4,
+                         t_layers=2, t_width=32, ctx=77, vocab=1000,
+                         embed_dim=32):
+    """Random OpenAI-style CLIP state dict (numpy float32)."""
+    def r(*shape, s=0.05):
+        return (rng.standard_normal(shape) * s).astype(np.float32)
+
+    sd = {}
+    sd["visual.conv1.weight"] = r(v_width, 3, v_patch, v_patch)
+    sd["visual.class_embedding"] = r(v_width)
+    sd["visual.positional_embedding"] = r(v_grid * v_grid + 1, v_width)
+    sd["visual.ln_pre.weight"] = 1 + r(v_width)
+    sd["visual.ln_pre.bias"] = r(v_width)
+    for i in range(v_layers):
+        p = f"visual.transformer.resblocks.{i}"
+        sd[f"{p}.ln_1.weight"] = 1 + r(v_width)
+        sd[f"{p}.ln_1.bias"] = r(v_width)
+        sd[f"{p}.attn.in_proj_weight"] = r(3 * v_width, v_width)
+        sd[f"{p}.attn.in_proj_bias"] = r(3 * v_width)
+        sd[f"{p}.attn.out_proj.weight"] = r(v_width, v_width)
+        sd[f"{p}.attn.out_proj.bias"] = r(v_width)
+        sd[f"{p}.ln_2.weight"] = 1 + r(v_width)
+        sd[f"{p}.ln_2.bias"] = r(v_width)
+        sd[f"{p}.mlp.c_fc.weight"] = r(4 * v_width, v_width)
+        sd[f"{p}.mlp.c_fc.bias"] = r(4 * v_width)
+        sd[f"{p}.mlp.c_proj.weight"] = r(v_width, 4 * v_width)
+        sd[f"{p}.mlp.c_proj.bias"] = r(v_width)
+    sd["visual.ln_post.weight"] = 1 + r(v_width)
+    sd["visual.ln_post.bias"] = r(v_width)
+    sd["visual.proj"] = r(v_width, embed_dim)
+
+    sd["token_embedding.weight"] = r(vocab, t_width)
+    sd["positional_embedding"] = r(ctx, t_width)
+    for i in range(t_layers):
+        p = f"transformer.resblocks.{i}"
+        sd[f"{p}.ln_1.weight"] = 1 + r(t_width)
+        sd[f"{p}.ln_1.bias"] = r(t_width)
+        sd[f"{p}.attn.in_proj_weight"] = r(3 * t_width, t_width)
+        sd[f"{p}.attn.in_proj_bias"] = r(3 * t_width)
+        sd[f"{p}.attn.out_proj.weight"] = r(t_width, t_width)
+        sd[f"{p}.attn.out_proj.bias"] = r(t_width)
+        sd[f"{p}.ln_2.weight"] = 1 + r(t_width)
+        sd[f"{p}.ln_2.bias"] = r(t_width)
+        sd[f"{p}.mlp.c_fc.weight"] = r(4 * t_width, t_width)
+        sd[f"{p}.mlp.c_fc.bias"] = r(4 * t_width)
+        sd[f"{p}.mlp.c_proj.weight"] = r(t_width, 4 * t_width)
+        sd[f"{p}.mlp.c_proj.bias"] = r(t_width)
+    sd["ln_final.weight"] = 1 + r(t_width)
+    sd["ln_final.bias"] = r(t_width)
+    sd["text_projection"] = r(t_width, embed_dim)
+    sd["logit_scale"] = np.float32(math.log(1 / 0.07))
+    return sd
+
+
+def _ln(x, sd, prefix):
+    d = x.shape[-1]
+    return F.layer_norm(x, (d,), torch.from_numpy(sd[prefix + ".weight"]),
+                        torch.from_numpy(sd[prefix + ".bias"]))
+
+
+def _mha(x, sd, prefix, heads, attn_mask=None, vv=False):
+    b, l, d = x.shape
+    w_in = torch.from_numpy(sd[prefix + ".attn.in_proj_weight"])
+    b_in = torch.from_numpy(sd[prefix + ".attn.in_proj_bias"])
+    w_out = torch.from_numpy(sd[prefix + ".attn.out_proj.weight"])
+    b_out = torch.from_numpy(sd[prefix + ".attn.out_proj.bias"])
+    qkv = x @ w_in.T + b_in
+    q, k, v = qkv.chunk(3, dim=-1)
+    if vv:
+        q = k = v
+    hd = d // heads
+
+    def split(t):
+        return t.reshape(b, l, heads, hd).permute(0, 2, 1, 3)
+
+    qh, kh, vh = split(q), split(k), split(v)
+    logits = qh @ kh.transpose(-2, -1) * hd ** -0.5
+    if attn_mask is not None:
+        logits = logits + attn_mask
+    attn = torch.softmax(logits, dim=-1)
+    out = (attn @ vh).permute(0, 2, 1, 3).reshape(b, l, d)
+    return out @ w_out.T + b_out
+
+
+def _block(x, sd, prefix, heads, attn_mask=None, vv=False, act=F.gelu):
+    x = x + _mha(_ln(x, sd, prefix + ".ln_1"), sd, prefix, heads,
+                 attn_mask=attn_mask, vv=vv)
+    h = _ln(x, sd, prefix + ".ln_2")
+    h = h @ torch.from_numpy(sd[prefix + ".mlp.c_fc.weight"]).T + \
+        torch.from_numpy(sd[prefix + ".mlp.c_fc.bias"])
+    h = act(h)
+    h = h @ torch.from_numpy(sd[prefix + ".mlp.c_proj.weight"]).T + \
+        torch.from_numpy(sd[prefix + ".mlp.c_proj.bias"])
+    return x + h
+
+
+def torch_vision_forward(sd, images, heads, n_layers, patch, out_layers=(),
+                         vv_from=None, adapter_hook=None):
+    """Returns (pooled, taps, final_tokens); taps include CLS."""
+    x = torch.from_numpy(images)
+    conv_w = torch.from_numpy(sd["visual.conv1.weight"])
+    x = F.conv2d(x, conv_w, stride=patch)
+    b, w, gh, gw = x.shape
+    x = x.reshape(b, w, gh * gw).permute(0, 2, 1)
+    cls = torch.from_numpy(sd["visual.class_embedding"]).expand(b, 1, w)
+    x = torch.cat([cls, x], dim=1)
+    x = x + torch.from_numpy(sd["visual.positional_embedding"])
+    x = _ln(x, sd, "visual.ln_pre")
+    taps = []
+    for i in range(n_layers):
+        vv = vv_from is not None and i >= vv_from
+        x = _block(x, sd, f"visual.transformer.resblocks.{i}", heads, vv=vv)
+        if adapter_hook is not None:
+            x = adapter_hook(i, x)
+        if (i + 1) in out_layers:
+            taps.append(x)
+    pooled = _ln(x[:, 0], sd, "visual.ln_post")
+    pooled = pooled @ torch.from_numpy(sd["visual.proj"])
+    return pooled, taps, x
+
+
+def torch_text_forward(sd, tokens, heads, n_layers, adapter_hook=None,
+                       final_proj=None):
+    toks = torch.from_numpy(tokens.astype(np.int64))
+    x = torch.from_numpy(sd["token_embedding.weight"])[toks]
+    x = x + torch.from_numpy(sd["positional_embedding"])
+    l = x.shape[1]
+    mask = torch.triu(torch.full((l, l), float("-inf")), diagonal=1)
+    for i in range(n_layers):
+        x = _block(x, sd, f"transformer.resblocks.{i}", heads, attn_mask=mask)
+        if adapter_hook is not None:
+            x = adapter_hook(i, x)
+    x = _ln(x, sd, "ln_final")
+    pooled = x[torch.arange(x.shape[0]), toks.argmax(dim=-1)]
+    if final_proj is not None:
+        return final_proj(pooled)
+    return pooled @ torch.from_numpy(sd["text_projection"])
