@@ -238,4 +238,6 @@ def tiny_test_config(img_size: int = 56) -> ModelConfig:
         hidden_size=16, num_hidden_layers=2, num_attention_heads=2,
         intermediate_size=32, encoder_hidden_size=16, text_encoder_hidden_size=32,
     )
-    return ModelConfig(clip=clip, adapter=adapter, iqm=iqm, surgery_until_layer=3)
+    # surgery_until_layer=4 -> vv blocks from index 1, before the first tap
+    # at layer 2 (mirrors the real config where surgery precedes all taps).
+    return ModelConfig(clip=clip, adapter=adapter, iqm=iqm, surgery_until_layer=4)

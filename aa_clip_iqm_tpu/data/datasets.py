@@ -1,0 +1,251 @@
+"""JSONL datasets: loading, CLIP preprocessing, joint geometric augmentation.
+
+Rebuilds the reference data pipeline (dataset/__init__.py:13-270) without
+torchvision: PIL for decode + bicubic/nearest resize, numpy/cv2 for the
+augmentations, emitting numpy batches ready for device transfer.
+
+Semantics preserved:
+  - metadata JSONL rows {image_path, label, class_name, mask_path}.
+  - train transform: per-channel ColorJitter (brightness/contrast/saturation
+    0.5, each applied with p=0.7; image stage only, not text stage) then CLIP
+    bicubic resize + normalize; mask nearest-resized and binarized; then
+    *joint* geometric augmentation on the stacked 4-channel image+mask:
+    rotation ±30° p=0.5, translate ±0.15 p=0.5, H/V flip p=0.5 each
+    (dataset/__init__.py:37-102).
+  - test (BaseSingleClassDataset): no augmentation, class-filtered.
+  - few-shot metadata files {shot}-shot.jsonl; full-shot.jsonl otherwise.
+The reference's dead `prompt_image` key (survey Q7, a collate hazard with no
+consumer) is intentionally dropped.
+"""
+from __future__ import annotations
+
+import json
+import math
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+from PIL import Image
+
+from .registry import CLASS_NAMES, DATA_PATH, IMAGE_MEAN, IMAGE_STD, metadata_path
+
+_MEAN = np.asarray(IMAGE_MEAN, np.float32).reshape(3, 1, 1)
+_STD = np.asarray(IMAGE_STD, np.float32).reshape(3, 1, 1)
+
+
+def load_metadata(meta_path: str, class_name: Optional[str] = None) -> List[dict]:
+    rows = []
+    with open(meta_path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            row = json.loads(line)
+            if class_name is None or row["class_name"] == class_name:
+                rows.append(row)
+    return rows
+
+
+def _load_image(path: str, img_size: int) -> np.ndarray:
+    """RGB bicubic resize -> CHW float32 in [0,1]."""
+    img = Image.open(path).convert("RGB").resize(
+        (img_size, img_size), Image.BICUBIC
+    )
+    arr = np.asarray(img, np.float32) / 255.0
+    return arr.transpose(2, 0, 1)
+
+
+def _load_mask(path: str, img_size: int) -> np.ndarray:
+    """Grayscale nearest resize -> (1, H, W) binary float32."""
+    m = Image.open(path).convert("L").resize((img_size, img_size), Image.NEAREST)
+    arr = (np.asarray(m) != 0).astype(np.float32)
+    return arr[None]
+
+
+def normalize_clip(img01: np.ndarray) -> np.ndarray:
+    return (img01 - _MEAN) / _STD
+
+
+def _color_jitter(rng: np.random.Generator, img01: np.ndarray) -> np.ndarray:
+    """Brightness/contrast/saturation jitter (strength 0.5, each p=0.7),
+    torchvision-equivalent formulas, applied on [0,1] CHW."""
+    img = img01
+    if rng.random() < 0.7:  # brightness: img * f, f ~ U[0.5, 1.5]
+        img = np.clip(img * rng.uniform(0.5, 1.5), 0, 1)
+    if rng.random() < 0.7:  # contrast: blend with mean of grayscale
+        f = rng.uniform(0.5, 1.5)
+        gray = (0.299 * img[0] + 0.587 * img[1] + 0.114 * img[2]).mean()
+        img = np.clip(f * img + (1 - f) * gray, 0, 1)
+    if rng.random() < 0.7:  # saturation: blend with grayscale image
+        f = rng.uniform(0.5, 1.5)
+        gray = (0.299 * img[0] + 0.587 * img[1] + 0.114 * img[2])[None]
+        img = np.clip(f * img + (1 - f) * gray, 0, 1)
+    return img
+
+
+def _joint_geometric(rng: np.random.Generator, stacked: np.ndarray) -> np.ndarray:
+    """Rotation/translate/flip applied identically to all channels.
+
+    stacked: (C, H, W) with image channels + mask channel. Bilinear warp via
+    cv2 (mask stays near-binary; the reference also bilinear-warps the mask
+    through torchvision and re-thresholds implicitly at loss time).
+    """
+    import cv2
+
+    c, h, w = stacked.shape
+    img = stacked.transpose(1, 2, 0)
+    if rng.random() < 0.5:  # rotation ±30°
+        angle = rng.uniform(-30.0, 30.0)
+        M = cv2.getRotationMatrix2D((w / 2 - 0.5, h / 2 - 0.5), angle, 1.0)
+        img = cv2.warpAffine(img, M, (w, h), flags=cv2.INTER_LINEAR)
+    if rng.random() < 0.5:  # translate ±0.15
+        tx = rng.uniform(-0.15, 0.15) * w
+        ty = rng.uniform(-0.15, 0.15) * h
+        M = np.float32([[1, 0, tx], [0, 1, ty]])
+        img = cv2.warpAffine(img, M, (w, h), flags=cv2.INTER_LINEAR)
+    if rng.random() < 0.5:
+        img = img[:, ::-1]
+    if rng.random() < 0.5:
+        img = img[::-1, :]
+    return np.ascontiguousarray(img).transpose(2, 0, 1)
+
+
+class TrainDataset:
+    """Reference BaseDataset (dataset/__init__.py:13-121).
+
+    text=True (stage 1) skips the color jitter; geometric augmentation is
+    joint on image+mask in both stages.
+    """
+
+    def __init__(self, data_path: str, meta_path: str, img_size: int,
+                 text: bool = False, seed: int = 111):
+        self.data_path = data_path
+        self.img_size = img_size
+        self.text = text
+        self.meta = load_metadata(meta_path)
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.meta)
+
+    def __getitem__(self, idx: int) -> dict:
+        meta = self.meta[idx]
+        img01 = _load_image(os.path.join(self.data_path, meta["image_path"]),
+                            self.img_size)
+        if not self.text:
+            img01 = _color_jitter(self.rng, img01)
+        img = normalize_clip(img01)
+        if meta["label"]:
+            mask = _load_mask(os.path.join(self.data_path, meta["mask_path"]),
+                              self.img_size)
+        else:
+            mask = np.zeros((1, self.img_size, self.img_size), np.float32)
+        stacked = _joint_geometric(self.rng, np.concatenate([img, mask], axis=0))
+        return {
+            "image": stacked[:3],
+            "mask": stacked[3:4],
+            "label": np.int64(meta["label"]),
+            "file_name": meta["image_path"],
+            "class_name": meta["class_name"],
+        }
+
+    def batches(self, batch_size: int, shuffle: bool = True, drop_last: bool = False):
+        order = np.arange(len(self.meta))
+        if shuffle:
+            self.rng.shuffle(order)
+        for start in range(0, len(order), batch_size):
+            idxs = order[start:start + batch_size]
+            if drop_last and len(idxs) < batch_size:
+                break
+            yield collate([self[int(i)] for i in idxs])
+
+
+class SingleClassTestDataset:
+    """Reference BaseSingleClassDataset (dataset/__init__.py:124-208)."""
+
+    def __init__(self, data_path: str, meta_path: str, img_size: int,
+                 class_name: str, logger=None):
+        self.data_path = data_path
+        self.img_size = img_size
+        self.class_name = class_name
+        self.meta = load_metadata(meta_path, class_name=class_name)
+        if logger:
+            logger.info(f"Class name: {class_name}")
+            logger.info(f"Sample number: {len(self.meta)}")
+            logger.info("=====================================")
+
+    def __len__(self):
+        return len(self.meta)
+
+    def __getitem__(self, idx: int) -> dict:
+        meta = self.meta[idx]
+        img = normalize_clip(
+            _load_image(os.path.join(self.data_path, meta["image_path"]),
+                        self.img_size))
+        if meta["label"]:
+            mask = _load_mask(os.path.join(self.data_path, meta["mask_path"]),
+                              self.img_size)
+        else:
+            mask = np.zeros((1, self.img_size, self.img_size), np.float32)
+        return {
+            "image": img,
+            "mask": mask,
+            "label": np.int64(meta["label"]),
+            "file_name": meta["image_path"],
+            "class_name": meta["class_name"],
+        }
+
+    def batches(self, batch_size: int, pad_to_batch: bool = False):
+        """Sequential batches; optionally zero-pad the tail batch to a fixed
+        size (static shapes for jit) with a validity mask."""
+        for start in range(0, len(self.meta), batch_size):
+            items = [self[i] for i in range(start, min(start + batch_size,
+                                                       len(self.meta)))]
+            batch = collate(items)
+            n = len(items)
+            if pad_to_batch and n < batch_size:
+                pad = batch_size - n
+                for key in ("image", "mask"):
+                    batch[key] = np.concatenate(
+                        [batch[key], np.zeros((pad,) + batch[key].shape[1:],
+                                              batch[key].dtype)], axis=0)
+                batch["label"] = np.concatenate(
+                    [batch["label"], np.zeros(pad, np.int64)])
+            batch["n_valid"] = n
+            yield batch
+
+
+def collate(items: List[dict]) -> dict:
+    out = {
+        "image": np.stack([it["image"] for it in items]).astype(np.float32),
+        "mask": np.stack([it["mask"] for it in items]).astype(np.float32),
+        "label": np.asarray([it["label"] for it in items], np.int64),
+        "file_name": [it["file_name"] for it in items],
+        "class_name": [it["class_name"] for it in items],
+    }
+    return out
+
+
+def get_dataset(dataset_name: str, img_size: int, training_mode: Optional[str],
+                shot: int = -1, stage: str = "train", logger=None,
+                metadata_root: Optional[str] = None, seed: int = 111):
+    """Dispatcher with reference semantics (dataset/__init__.py:211-270)."""
+    if stage == "train":
+        if training_mode == "few_shot" and shot <= 0:
+            raise ValueError("shot should be positive in few_shot mode")
+        eff_shot = shot if training_mode == "few_shot" else -1
+        meta = metadata_path(dataset_name, eff_shot, metadata_root)
+        data_path = DATA_PATH[dataset_name.split("-")[0]]
+        text_ds = TrainDataset(data_path, meta, img_size, text=True, seed=seed)
+        image_ds = TrainDataset(data_path, meta, img_size, text=False,
+                                seed=seed + 1)
+        return text_ds, image_ds
+    if stage in ("test", "visualize"):
+        meta = metadata_path(dataset_name, -1, metadata_root)
+        return {
+            c: SingleClassTestDataset(
+                DATA_PATH[dataset_name], meta, img_size, c,
+                logger=logger if stage == "test" else None)
+            for c in CLASS_NAMES[dataset_name]
+        }
+    raise ValueError(f"stage {stage} not found; available: train, test, visualize")

@@ -236,6 +236,65 @@ def text_forward(
     return final_proj(pooled)
 
 
+def dual_vision_features(
+    params,
+    cfg: VisionConfig,
+    images,
+    out_layers: Sequence[int],
+    vv_from: int,
+    act_name: str = "gelu",
+    compute_dtype=jnp.float32,
+    use_pallas: bool = False,
+):
+    """Stage-1 visual features: surgery taps + plain CLS, shared prefix.
+
+    The reference runs two *complete* CLIP copies per stage-1 batch — a
+    DAPM-surgeried one for patch taps and a plain one for the CLS token
+    (train.py:75-76). Both share identical weights and identical computation
+    up to the first surgeried block, so we fork a single forward at
+    ``vv_from`` instead: blocks [0, vv_from) run once, then the v-v branch
+    and the plain branch continue separately. Saves ~`vv_from/layers` of the
+    stage-1 visual FLOPs with bit-identical results.
+
+    Returns (cls_pooled (B, output_dim), surgery_taps [(B, L+1, width)]).
+    """
+    x = patchify(params, images.astype(compute_dtype), cfg.patch_size)
+    b = x.shape[0]
+    cls = jnp.broadcast_to(params["class_embedding"].astype(compute_dtype),
+                           (b, 1, cfg.width))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["positional_embedding"].astype(compute_dtype)
+    x = layer_norm(params["ln_pre"], x)
+
+    act = ACTIVATIONS[act_name]
+    for i in range(vv_from):
+        x = _run_block(params["blocks"][i], x, cfg.heads, act,
+                       use_pallas=use_pallas)
+        if (i + 1) in out_layers:
+            raise ValueError(
+                "tap layers inside the shared prefix are ambiguous between "
+                "branches; DAPM surgery starts before the first tap in all "
+                "reference configurations"
+            )
+
+    taps = []
+    xs = x
+    for i in range(vv_from, len(params["blocks"])):
+        xs = _run_block(params["blocks"][i], xs, cfg.heads, act, vv=True,
+                        use_pallas=use_pallas)
+        if (i + 1) in out_layers:
+            taps.append(xs)
+
+    xp = x
+    for i in range(vv_from, len(params["blocks"])):
+        xp = _run_block(params["blocks"][i], xp, cfg.heads, act,
+                        use_pallas=use_pallas)
+    pooled = layer_norm(params["ln_post"], xp[:, 0])
+    pooled = jnp.dot(pooled, params["proj"].astype(pooled.dtype),
+                     preferred_element_type=jnp.float32).astype(xp.dtype)
+    return pooled, taps
+
+
 def surgery_vv_from(num_layers: int, dpam_layer: int) -> int:
     """0-based first v-v block index for DAPM_replace(dpam_layer)
     (model/transformer.py:406-425 replaces the last dpam_layer-1 blocks)."""

@@ -79,15 +79,19 @@ def reflect_blur_matrix(n: int, kernel_size: int, sigma: float) -> np.ndarray:
 
 @functools.lru_cache(maxsize=32)
 def blur_upsample_operator(src: int, dst: int, kernel_size: int, sigma: float):
-    """Fused [blur → bilinear align_corners=True upsample] operator (dst, src)."""
+    """Fused [blur → bilinear align_corners=True upsample] operator (dst, src).
+
+    Returned as numpy: operators are baked into each jitted program as
+    constants (caching device arrays would leak tracers across traces).
+    """
     U = bilinear_matrix(src, dst, align_corners=True).astype(np.float64)
     G = reflect_blur_matrix(src, kernel_size, sigma).astype(np.float64)
-    return jnp.asarray((U @ G).astype(np.float32))
+    return (U @ G).astype(np.float32)
 
 
 @functools.lru_cache(maxsize=32)
 def upsample_operator(src: int, dst: int, align_corners: bool):
-    return jnp.asarray(bilinear_matrix(src, dst, align_corners))
+    return bilinear_matrix(src, dst, align_corners)
 
 
 def apply_separable(op_h, op_w, img):

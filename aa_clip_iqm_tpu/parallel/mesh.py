@@ -1,0 +1,132 @@
+"""Device mesh + sharding utilities (the framework's distributed backend).
+
+The reference has no parallelism at all (single process, cuda:0 —
+train.py:299-300; SURVEY.md §2 row 19). The TPU-native design is GSPMD:
+
+  - a ('data', 'model') mesh over ICI;
+  - batch axes sharded over 'data' (pure data parallelism for training and
+    eval — gradients are reduced by compiler-inserted psums over ICI);
+  - optionally, backbone attention heads / MLP hidden sharded over 'model'
+    (Megatron-style tensor parallelism) for large-image inference;
+  - parameters otherwise replicated.
+
+Everything is expressed with jax.sharding.NamedSharding: XLA inserts the
+collectives; no hand-written NCCL analogue exists or is needed.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
+              devices=None) -> Mesh:
+    """Build a ('data', 'model') mesh. Defaults to all devices on the data
+    axis (ICI-adjacent ordering preserved)."""
+    devices = devices if devices is not None else jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_model
+    arr = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over 'data', replicate the rest."""
+    return NamedSharding(mesh, P("data"))
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Device-put array leaves of a batch dict with the batch axis sharded."""
+    spec = batch_sharding(mesh)
+    return jax.tree.map(
+        lambda x: jax.device_put(x, spec) if hasattr(x, "shape") and x.ndim
+        else x,
+        batch,
+    )
+
+
+def replicate(mesh: Mesh, tree):
+    spec = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, spec), tree)
+
+
+def pad_batch_to_multiple(batch_arrays, multiple: int):
+    """Zero-pad leading axis to a multiple of the data-axis size; returns
+    (padded_tree, n_valid)."""
+    n = None
+    for leaf in jax.tree.leaves(batch_arrays):
+        n = leaf.shape[0]
+        break
+    if n is None or n % multiple == 0:
+        return batch_arrays, n
+    pad = multiple - (n % multiple)
+
+    def _pad(x):
+        widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+        return np.pad(x, widths)
+
+    return jax.tree.map(_pad, batch_arrays), n
+
+
+# ----------------------------------------------------------------------
+# Tensor-parallel parameter shardings for the CLIP backbone (Megatron-style)
+# ----------------------------------------------------------------------
+
+def backbone_param_sharding(mesh: Mesh, params):
+    """NamedSharding pytree for the frozen CLIP params: attention qkv/out and
+    MLP weights sharded over 'model' on their contraction-friendly axes,
+    everything else replicated.
+
+    qkv.w (d, 3d): shard output columns (heads)    -> P(None, 'model')
+    out.w (d, d):  shard input rows (heads)        -> P('model', None)
+    c_fc.w (d, 4d): shard output columns           -> P(None, 'model')
+    c_proj.w (4d, d): shard input rows             -> P('model', None)
+    biases of column-sharded layers shard likewise; row-sharded layer biases
+    replicate.
+    """
+
+    def block_spec(block):
+        return {
+            "ln_1": jax.tree.map(lambda _: P(), block["ln_1"]),
+            "attn": {
+                "qkv": {"w": P(None, "model"), "b": P("model")},
+                "out": {"w": P("model", None), "b": P()},
+            },
+            "ln_2": jax.tree.map(lambda _: P(), block["ln_2"]),
+            "mlp": {
+                "c_fc": {"w": P(None, "model"), "b": P("model")},
+                "c_proj": {"w": P("model", None), "b": P()},
+            },
+        }
+
+    def tower_spec(tower):
+        return {
+            k: (
+                [block_spec(b) for b in v] if k == "blocks"
+                else jax.tree.map(lambda _: P(), v)
+            )
+            for k, v in tower.items()
+        }
+
+    spec = {
+        "visual": tower_spec(params["visual"]),
+        "text": tower_spec(params["text"]),
+        "logit_scale": P(),
+    }
+    return jax.tree.map(
+        lambda s: NamedSharding(mesh, s), spec,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def shard_backbone(mesh: Mesh, params):
+    """Device-put frozen CLIP params with tensor-parallel shardings."""
+    shardings = backbone_param_sharding(mesh, params)
+    return jax.tree.map(jax.device_put, params, shardings)

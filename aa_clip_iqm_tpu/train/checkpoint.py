@@ -1,0 +1,99 @@
+"""Orbax checkpointing with the reference's directory-scan resume UX.
+
+Reference semantics (train.py:105-113, 225-236, 356-375; test_last.py:231-248):
+  - stage 1 saves {epoch, text_adapter, optimizer} to text_adapter.pth each
+    epoch; stage 2 saves image_adapter.pth plus per-epoch image_adapter_{N}.pth;
+  - resume scans save_path and restores module+optimizer+epoch;
+  - eval loads the numerically-latest image_adapter_{N}.
+
+Ours mirrors that layout with orbax directories; params and optimizer state
+are separate sub-checkpoints so evaluation can restore weights without
+reconstructing optimizer templates:
+
+  save_path/text_adapter/{params,opt}
+  save_path/image_adapter/{params,opt}        (rolling resume point)
+  save_path/image_adapter_{N}/{params,opt}    (per-epoch)
+
+Fixing survey Q1: the stage-2 checkpoint contains the *full* trainable pytree
+(IQM family included), not just the image adapter.
+"""
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Optional
+
+import orbax.checkpoint as ocp
+
+
+def save_state(directory: str, state: Any):
+    directory = os.path.abspath(directory)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(directory, state, force=True)
+    ckptr.wait_until_finished()
+
+
+def restore_state(directory: str, template: Any):
+    directory = os.path.abspath(directory)
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(directory, template)
+
+
+def _save_pair(base: str, epoch: int, params, opt_state):
+    save_state(os.path.join(base, "params"),
+               {"epoch": epoch, "params": params})
+    if opt_state is not None:
+        save_state(os.path.join(base, "opt"), opt_state)
+
+
+def _load_pair(base: str, template_params, template_opt):
+    if not os.path.isdir(os.path.join(base, "params")):
+        return None
+    restored = restore_state(os.path.join(base, "params"),
+                             {"epoch": 0, "params": template_params})
+    out = {"epoch": int(restored["epoch"]), "params": restored["params"],
+           "opt_state": None}
+    if template_opt is not None and os.path.isdir(os.path.join(base, "opt")):
+        out["opt_state"] = restore_state(os.path.join(base, "opt"),
+                                         template_opt)
+    return out
+
+
+def save_stage1(save_path: str, epoch: int, text_adapter, opt_state):
+    _save_pair(os.path.join(save_path, "text_adapter"), epoch, text_adapter,
+               opt_state)
+
+
+def load_stage1(save_path: str, template_params, template_opt=None):
+    return _load_pair(os.path.join(save_path, "text_adapter"),
+                      template_params, template_opt)
+
+
+def save_stage2(save_path: str, epoch: int, trainable, opt_state):
+    _save_pair(os.path.join(save_path, "image_adapter"), epoch, trainable,
+               opt_state)
+    _save_pair(os.path.join(save_path, f"image_adapter_{epoch}"), epoch,
+               trainable, None)
+
+
+def load_stage2(save_path: str, template_params, template_opt=None,
+                latest_numbered: bool = False):
+    """Resume point (image_adapter/) or, for eval, the numerically-latest
+    image_adapter_{N}/ (test_last.py:240-246)."""
+    base = (latest_numbered_dir(save_path) if latest_numbered
+            else os.path.join(save_path, "image_adapter"))
+    if base is None:
+        return None
+    return _load_pair(base, template_params, template_opt)
+
+
+def latest_numbered_dir(save_path: str) -> Optional[str]:
+    if not os.path.isdir(save_path):
+        return None
+    best, best_n = None, -1
+    for name in os.listdir(save_path):
+        m = re.fullmatch(r"image_adapter_(\d+)", name)
+        if m and int(m.group(1)) > best_n:
+            best_n = int(m.group(1))
+            best = os.path.join(save_path, name)
+    return best

@@ -1,0 +1,199 @@
+"""Two-stage training orchestration (reference train.py:240-436).
+
+run_training(frozen, model_cfg, train_cfg) executes:
+  stage 1 — text-anchor adaptation with checkpoint-resume;
+  anchor freeze — adapted (or raw, if text_epoch==0) per-class anchors;
+  stage 2 — image adapter + IQM training with per-epoch checkpoints.
+
+Data parallelism: when a mesh is provided, batches are sharded over its
+'data' axis and the jitted steps carry sharding annotations (XLA inserts the
+gradient psums over ICI).
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import ModelConfig, TrainConfig
+from ..data import registry
+from ..data.datasets import get_dataset
+from ..models import adapters as adapters_mod
+from ..prompts import batched_prompt_tokens, compute_all_anchors
+from . import checkpoint as ckpt
+from . import optim, steps
+
+
+def _dtype(name: str):
+    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]
+
+
+@dataclass
+class TrainState:
+    trainable: dict
+    text_opt_state: object = None
+    image_opt_state: object = None
+
+
+def _pad_batch(batch, multiple: int):
+    n = batch["image"].shape[0]
+    if n % multiple == 0:
+        return batch, n
+    pad = multiple - n % multiple
+
+    def pad_arr(x):
+        return np.concatenate(
+            [x, np.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+
+    out = dict(batch)
+    for key in ("image", "mask"):
+        out[key] = pad_arr(batch[key])
+    out["label"] = np.concatenate([batch["label"], np.zeros(pad, np.int64)])
+    out["class_name"] = list(batch["class_name"]) + \
+        [batch["class_name"][-1]] * pad
+    return out, n
+
+
+def run_stage1(frozen, trainable, model_cfg: ModelConfig,
+               train_cfg: TrainConfig, text_dataset, logger,
+               mesh=None, use_pallas: bool = False):
+    """Returns updated trainable with the adapted text adapter."""
+    dtype = _dtype(train_cfg.compute_dtype)
+    classes, prompt_toks, n_norm, n_abn = batched_prompt_tokens(
+        train_cfg.dataset)
+    class_to_idx = {c: i for i, c in enumerate(classes)}
+
+    tx = optim.stage1_optimizer(train_cfg.text_lr)
+    text_params = trainable["text_adapter"]
+    opt_state = tx.init(text_params)
+    start_epoch = 0
+
+    restored = ckpt.load_stage1(train_cfg.save_path, text_params, opt_state)
+    if restored is not None:
+        text_params = restored["params"]
+        if restored["opt_state"] is not None:
+            opt_state = restored["opt_state"]
+        start_epoch = restored["epoch"]
+        logger.info("resumed stage 1 from epoch %d", start_epoch)
+
+    visual_fn = steps.make_stage1_visual_fn(
+        model_cfg, compute_dtype=dtype, use_pallas=use_pallas, mesh=mesh)
+    step_fn = steps.make_stage1_step(
+        model_cfg, train_cfg, prompt_toks, len(classes), n_norm, n_abn,
+        tx, compute_dtype=dtype, mesh=mesh)
+
+    n_dev = 1 if mesh is None else mesh.devices.size
+    for epoch in range(start_epoch, train_cfg.text_epoch):
+        logger.info("training text epoch %d:", epoch)
+        losses = []
+        t0 = time.time()
+        for batch in text_dataset.batches(train_cfg.text_batch_size,
+                                          shuffle=True):
+            batch, _ = _pad_batch(batch, n_dev)
+            images = jnp.asarray(batch["image"])
+            masks = jnp.asarray(batch["mask"])
+            class_idx = jnp.asarray(
+                [class_to_idx[c] for c in batch["class_name"]], jnp.int32)
+            patch_feats = visual_fn(frozen, images)
+            text_params, opt_state, loss = step_fn(
+                text_params, opt_state, frozen, patch_feats, masks, class_idx)
+            losses.append(float(loss))
+        logger.info("loss: %f (%.1fs)", float(np.mean(losses)),
+                    time.time() - t0)
+        ckpt.save_stage1(train_cfg.save_path, epoch + 1, text_params, opt_state)
+
+    trainable = dict(trainable)
+    trainable["text_adapter"] = text_params
+    return trainable
+
+
+def compute_frozen_anchors(frozen, trainable, model_cfg: ModelConfig,
+                           dataset_name: str, adapted: bool,
+                           compute_dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
+    """Per-class anchors with the adapted (or raw when text_epoch==0 —
+    train.py:417-423) text encoder."""
+    if adapted:
+        def encode(tokens):
+            return adapters_mod.encode_text_adapted(
+                frozen, trainable, model_cfg, tokens,
+                compute_dtype=compute_dtype)
+    else:
+        def encode(tokens):
+            return adapters_mod.encode_text_frozen(
+                frozen, model_cfg, tokens, compute_dtype=compute_dtype)
+    return compute_all_anchors(encode, dataset_name)
+
+
+def run_stage2(frozen, trainable, model_cfg: ModelConfig,
+               train_cfg: TrainConfig, image_dataset, anchors, logger,
+               mesh=None, use_pallas: bool = False):
+    dtype = _dtype(train_cfg.compute_dtype)
+    steps_per_epoch = max(1, len(image_dataset) // train_cfg.image_batch_size)
+    total_steps = steps_per_epoch * train_cfg.image_epoch
+    tx = optim.stage2_optimizer(
+        trainable, train_cfg.image_lr, total_steps,
+        iqm_lr_scale=train_cfg.iqm_lr_scale,
+        image_wd=train_cfg.image_weight_decay,
+        iqm_wd=train_cfg.iqm_weight_decay)
+    opt_state = tx.init(trainable)
+    start_epoch = 0
+
+    restored = ckpt.load_stage2(train_cfg.save_path, trainable, opt_state)
+    if restored is not None:
+        trainable = restored["params"]
+        if restored["opt_state"] is not None:
+            opt_state = restored["opt_state"]
+        start_epoch = restored["epoch"]
+        logger.info("resumed stage 2 from epoch %d", start_epoch)
+
+    step_fn = steps.make_stage2_step(
+        model_cfg, train_cfg, tx, compute_dtype=dtype, use_pallas=use_pallas,
+        mesh=mesh)
+
+    n_dev = 1 if mesh is None else mesh.devices.size
+    for epoch in range(start_epoch, train_cfg.image_epoch):
+        logger.info("training image epoch %d:", epoch)
+        losses = []
+        t0 = time.time()
+        for batch in image_dataset.batches(train_cfg.image_batch_size,
+                                           shuffle=True):
+            batch, _ = _pad_batch(batch, n_dev)
+            anchor_stack = jnp.stack(
+                [anchors[c] for c in batch["class_name"]], axis=0)
+            trainable, opt_state, loss = step_fn(
+                trainable, opt_state, frozen,
+                jnp.asarray(batch["image"]), jnp.asarray(batch["mask"]),
+                jnp.asarray(batch["label"]), anchor_stack)
+            losses.append(float(loss))
+        logger.info("loss: %f (%.1fs)", float(np.mean(losses)),
+                    time.time() - t0)
+        ckpt.save_stage2(train_cfg.save_path, epoch + 1, trainable, opt_state)
+    return trainable
+
+
+def run_training(frozen, trainable, model_cfg: ModelConfig,
+                 train_cfg: TrainConfig, logger, mesh=None,
+                 use_pallas: bool = False, metadata_root: Optional[str] = None):
+    """Full two-stage pipeline. Returns (trainable, anchors)."""
+    text_ds, image_ds = get_dataset(
+        train_cfg.dataset, train_cfg.img_size, train_cfg.training_mode,
+        train_cfg.shot, "train", logger, metadata_root=metadata_root,
+        seed=train_cfg.seed)
+
+    if train_cfg.text_epoch > 0:
+        trainable = run_stage1(frozen, trainable, model_cfg, train_cfg,
+                               text_ds, logger, mesh=mesh,
+                               use_pallas=use_pallas)
+
+    anchors = compute_frozen_anchors(
+        frozen, trainable, model_cfg, train_cfg.dataset,
+        adapted=train_cfg.text_epoch > 0,
+        compute_dtype=_dtype(train_cfg.compute_dtype))
+
+    trainable = run_stage2(frozen, trainable, model_cfg, train_cfg, image_ds,
+                           anchors, logger, mesh=mesh, use_pallas=use_pallas)
+    return trainable, anchors

@@ -1,0 +1,191 @@
+"""Jitted training steps for the two adaptation stages.
+
+Stage 1 — text-anchor adaptation (train.py:38-114): the gradient path is the
+adapted text encoder through the full prompt ensemble; visual features come
+from the frozen surgery/plain towers (no grad). TPU design choices:
+  - anchors for *all* dataset classes are produced by one batched text-encoder
+    call per step (static shapes; per-sample anchors are a gather), replacing
+    the reference's per-unique-class Python loop (train.py:63-68);
+  - the visual extraction runs as a separate jitted no-grad program with the
+    shared-prefix dual forward (models/clip.dual_vision_features), so the
+    backward pass never traverses the 24-block ViT.
+
+Stage 2 — patch alignment + IQM (train.py:117-237): anchors are frozen inputs;
+loss = 0.5*CE(det) + sum_levels 0.3*seg(text map) + sum_levels 0.2*seg(IQM map)
+with the trained query projection (fixing survey Q2).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..configs import ModelConfig, TrainConfig
+from ..evaluation import scoring
+from ..models import adapters as adapters_mod
+from ..models import clip as clip_mod
+from ..ops.losses import cross_entropy_logits, seg_loss
+from ..prompts import anchors_from_flat_embeddings
+
+
+# ----------------------------------------------------------------------
+# Stage 1
+# ----------------------------------------------------------------------
+
+def make_stage1_visual_fn(cfg: ModelConfig, compute_dtype=jnp.float32,
+                          use_pallas: bool = False, mesh=None):
+    """No-grad visual features for stage 1.
+
+    Returns jitted fn(frozen, images) -> (patch_feats list [(B, L, D)], each
+    already ln_post'ed, projected, L2-normalized, CLS-added — train.py:75-85).
+    """
+    levels = tuple(cfg.adapter.levels)
+    vv_from = clip_mod.surgery_vv_from(cfg.clip.vision.layers,
+                                       cfg.surgery_until_layer)
+
+    def features(frozen, images):
+        vis = frozen["visual"]
+        cls_pooled, taps = clip_mod.dual_vision_features(
+            vis, cfg.clip.vision, images, levels, vv_from,
+            act_name=cfg.clip.act, compute_dtype=compute_dtype,
+            use_pallas=use_pallas,
+        )
+        from ..ops.layers import l2_normalize, layer_norm
+
+        cls_n = l2_normalize(cls_pooled)
+        feats = []
+        for t in taps:
+            tok = layer_norm(vis["ln_post"], t[:, 1:, :])
+            proj = jnp.dot(tok, vis["proj"].astype(tok.dtype),
+                           preferred_element_type=jnp.float32).astype(tok.dtype)
+            f = l2_normalize(proj) + cls_n[:, None, :]
+            feats.append(f)
+        return [jax.lax.stop_gradient(f) for f in feats]
+
+    if mesh is not None:
+        from ..parallel.mesh import batch_sharding, replicated
+
+        return jax.jit(features,
+                       in_shardings=(replicated(mesh), batch_sharding(mesh)))
+    return jax.jit(features)
+
+
+def make_stage1_step(cfg: ModelConfig, train_cfg: TrainConfig, prompt_tokens,
+                     n_classes: int, n_normal: int, n_abnormal: int,
+                     tx: optax.GradientTransformation,
+                     compute_dtype=jnp.float32, mesh=None):
+    """Build jitted step(text_params, opt_state, frozen, patch_feats,
+    masks, class_idx) -> (text_params, opt_state, loss).
+
+    class_idx: (B,) int32 index of each sample's class into the anchor stack.
+    """
+    img_size = train_cfg.img_size
+    last_only = train_cfg.stage1_last_level_only
+    norm_w = train_cfg.text_norm_weight
+
+    def loss_fn(text_params, frozen, patch_feats, masks, class_idx):
+        emb = adapters_mod.encode_text_adapted(
+            frozen, {"text_adapter": text_params}, cfg, prompt_tokens,
+            compute_dtype=compute_dtype,
+        )
+        anchors_all = anchors_from_flat_embeddings(
+            emb, n_classes, n_normal, n_abnormal)          # (C, D, 2)
+        anchors = anchors_all[class_idx]                   # (B, D, 2)
+
+        # Orthogonality regularizer (train.py:91-96, survey Q8).
+        ortho = jnp.mean(
+            jnp.sum(anchors[:, :, 0] * anchors[:, :, 1], axis=1)) ** 2
+
+        losses = []
+        for f in patch_feats:
+            probs = scoring.similarity_map_train(f, anchors, img_size)
+            losses.append(seg_loss(probs, masks))
+        if last_only:
+            # Fidelity with the reference's loss reassignment (survey Q3):
+            # only the deepest level contributes gradient.
+            total = losses[-1]
+        else:
+            total = sum(losses)
+        total = total + ortho * norm_w
+        return total
+
+    def step(text_params, opt_state, frozen, patch_feats, masks, class_idx):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            text_params, frozen, patch_feats, masks, class_idx)
+        updates, opt_state = tx.update(grads, opt_state, text_params)
+        text_params = optax.apply_updates(text_params, updates)
+        return text_params, opt_state, loss
+
+    # No buffer donation: the adapter pytrees are tiny and callers may hold
+    # references to the initial parameters (donation would invalidate them).
+    if mesh is not None:
+        from ..parallel.mesh import batch_sharding, replicated
+
+        rep, dat = replicated(mesh), batch_sharding(mesh)
+        return jax.jit(
+            step,
+            in_shardings=(rep, rep, rep, [dat] * len(cfg.adapter.levels),
+                          dat, dat),
+            out_shardings=(rep, rep, rep),
+        )
+    return jax.jit(step)
+
+
+# ----------------------------------------------------------------------
+# Stage 2
+# ----------------------------------------------------------------------
+
+def make_stage2_step(cfg: ModelConfig, train_cfg: TrainConfig,
+                     tx: optax.GradientTransformation,
+                     compute_dtype=jnp.float32, use_pallas: bool = False,
+                     mesh=None, clip_grad_norm: Optional[float] = None):
+    """Build jitted step(trainable, opt_state, frozen, images, masks, labels,
+    anchors) -> (trainable, opt_state, loss)."""
+    img_size = train_cfg.img_size
+    text_w = train_cfg.text_loss_weight
+    iqm_w = train_cfg.iqm_loss_weight
+    det_w = train_cfg.det_loss_weight
+
+    def loss_fn(trainable, frozen, images, masks, labels, anchors):
+        out = adapters_mod.encode_image_adapted(
+            frozen, trainable, cfg, images, text_anchors=anchors,
+            compute_dtype=compute_dtype, use_pallas=use_pallas,
+        )
+        cls_logits = jnp.einsum("bd,bdc->bc",
+                                out.det_token.astype(jnp.float32),
+                                anchors.astype(jnp.float32))
+        total = cross_entropy_logits(cls_logits, labels) * det_w
+
+        for f in out.seg_tokens:
+            probs = scoring.similarity_map_train(f, anchors, img_size)
+            total += seg_loss(probs, masks) * text_w * 0.5
+
+        q = adapters_mod.project_queries(trainable, out.iqm_queries)
+        for f in out.seg_tokens:
+            iqm_map = scoring.iqm_train_map(f, q, img_size)
+            total += seg_loss(iqm_map, masks) * iqm_w * 0.5
+        return total
+
+    def step(trainable, opt_state, frozen, images, masks, labels, anchors):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            trainable, frozen, images, masks, labels, anchors)
+        if clip_grad_norm is not None:
+            grads, _ = optax.clip_by_global_norm(clip_grad_norm).update(
+                grads, optax.EmptyState())
+        updates, opt_state = tx.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        return trainable, opt_state, loss
+
+    if mesh is not None:
+        from ..parallel.mesh import batch_sharding, replicated
+
+        rep, dat = replicated(mesh), batch_sharding(mesh)
+        return jax.jit(
+            step,
+            in_shardings=(rep, rep, rep, dat, dat, dat, dat),
+            out_shardings=(rep, rep, rep),
+        )
+    return jax.jit(step)

@@ -1,0 +1,130 @@
+"""End-to-end smoke: synthetic dataset -> two-stage training -> evaluation.
+
+Runs the full pipeline with the tiny model config on a generated micro-dataset
+(no downloads), including checkpoint save/resume and per-class metrics. Uses
+single-device jit (the multi-device path is covered by test_parallel.py).
+"""
+import logging
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from aa_clip_iqm_tpu.configs import EvalConfig, TrainConfig, tiny_test_config
+from aa_clip_iqm_tpu.data.datasets import get_dataset
+from aa_clip_iqm_tpu.data.synthetic import generate, register_synthetic
+from aa_clip_iqm_tpu.evaluation.predict import evaluate_dataset, results_table
+from aa_clip_iqm_tpu.models import adapters as adapters_mod
+from aa_clip_iqm_tpu.models.clip import init_clip_params
+from aa_clip_iqm_tpu.train import checkpoint as ckpt
+from aa_clip_iqm_tpu.train.driver import compute_frozen_anchors, run_training
+
+IMG = 56  # tiny config image size (4x4 grid of 14px patches)
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("synthdata"))
+    generate(root, n_normal=4, n_anomalous=4, size=IMG, seed=3)
+    metadata_root = register_synthetic(root)
+    return root, metadata_root
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = tiny_test_config(IMG)
+    frozen = init_clip_params(jax.random.PRNGKey(0), cfg.clip)
+    trainable = adapters_mod.init_adapter_params(jax.random.PRNGKey(1), cfg)
+    return cfg, frozen, trainable
+
+
+def test_full_pipeline(synth, model, tmp_path):
+    _, metadata_root = synth
+    cfg, frozen, trainable = model
+    save_path = str(tmp_path / "ckpt")
+    train_cfg = TrainConfig(
+        dataset="Synth", img_size=IMG, training_mode="full_shot", shot=-1,
+        text_batch_size=4, image_batch_size=4, text_epoch=1, image_epoch=1,
+        save_path=save_path, compute_dtype="float32",
+    )
+    logger = logging.getLogger("test_e2e")
+
+    trained, anchors = run_training(
+        frozen, trainable, cfg, train_cfg, logger,
+        metadata_root=metadata_root)
+
+    # anchors exist per class and are unit-norm columns
+    a = np.asarray(anchors["widget"])
+    assert a.shape == (cfg.clip.embed_dim, 2)
+    np.testing.assert_allclose(np.linalg.norm(a, axis=0), 1.0, rtol=1e-4)
+
+    # checkpoints on disk
+    assert os.path.isdir(os.path.join(save_path, "text_adapter", "params"))
+    assert os.path.isdir(os.path.join(save_path, "image_adapter_1", "params"))
+
+    # training actually changed the trainable params
+    before = np.asarray(trainable["image_adapter"]["det_proj"]["w"])
+    after = np.asarray(trained["image_adapter"]["det_proj"]["w"])
+    assert np.abs(before - after).max() > 0
+
+    # text adapter should NOT change during stage 2
+    # (it trained in stage 1 then froze)
+    # evaluation
+    datasets = get_dataset("Synth", IMG, None, -1, "test",
+                           metadata_root=metadata_root)
+    eval_cfg = EvalConfig(dataset="Synth", img_size=IMG, batch_size=4,
+                          save_path=save_path, compute_dtype="float32")
+    rows = evaluate_dataset(frozen, trained, cfg, eval_cfg, datasets, anchors)
+    assert rows[-1]["class name"] == "Average"
+    for row in rows:
+        for key in ("pixel AUC", "pixel AP", "image AUC", "image AP"):
+            assert np.isfinite(row[key])
+            assert 0.0 <= row[key] <= 100.0
+    table = results_table(rows)
+    assert "Average" in table
+
+    # eval-style restore of the numbered checkpoint round-trips
+    restored = ckpt.load_stage2(save_path, trained, latest_numbered=True)
+    assert restored["epoch"] == 1
+    r = np.asarray(restored["params"]["image_adapter"]["det_proj"]["w"])
+    np.testing.assert_array_equal(r, after)
+
+
+def test_resume_skips_completed_epochs(synth, model, tmp_path):
+    _, metadata_root = synth
+    cfg, frozen, trainable = model
+    save_path = str(tmp_path / "ckpt2")
+    train_cfg = TrainConfig(
+        dataset="Synth", img_size=IMG, training_mode="full_shot", shot=-1,
+        text_batch_size=4, image_batch_size=4, text_epoch=1, image_epoch=1,
+        save_path=save_path, compute_dtype="float32",
+    )
+    logger = logging.getLogger("test_resume")
+    trained1, _ = run_training(frozen, trainable, cfg, train_cfg, logger,
+                               metadata_root=metadata_root)
+    # Second invocation resumes at the saved epoch counts: no further steps,
+    # parameters unchanged.
+    trained2, _ = run_training(frozen, trained1, cfg, train_cfg, logger,
+                               metadata_root=metadata_root)
+    w1 = np.asarray(trained1["image_adapter"]["det_proj"]["w"])
+    w2 = np.asarray(trained2["image_adapter"]["det_proj"]["w"])
+    np.testing.assert_array_equal(w1, w2)
+
+
+def test_zero_shot_predict_without_training(synth, model):
+    """The inference path runs with freshly-initialized adapters (zero-shot
+    plumbing; quality needs real CLIP weights)."""
+    _, metadata_root = synth
+    cfg, frozen, trainable = model
+    datasets = get_dataset("Synth", IMG, None, -1, "test",
+                           metadata_root=metadata_root)
+    anchors = compute_frozen_anchors(frozen, trainable, cfg, "Synth",
+                                     adapted=False)
+    eval_cfg = EvalConfig(dataset="Synth", img_size=IMG, batch_size=3,
+                          compute_dtype="float32")
+    rows = evaluate_dataset(frozen, trainable, cfg, eval_cfg, datasets,
+                            anchors)
+    assert len(rows) == 2  # one class + Average

@@ -1,0 +1,145 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh.
+
+Validates that training steps and the predict pipeline compile and execute
+data-parallel (and with tensor-parallel backbone shardings) over a
+jax.sharding.Mesh, and that DP results match single-device results.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from aa_clip_iqm_tpu.configs import TrainConfig, tiny_test_config
+from aa_clip_iqm_tpu.evaluation.predict import make_predict_fn
+from aa_clip_iqm_tpu.models import adapters as adapters_mod
+from aa_clip_iqm_tpu.models.clip import init_clip_params
+from aa_clip_iqm_tpu.parallel import mesh as mesh_mod
+from aa_clip_iqm_tpu.train import optim, steps
+
+IMG = 56
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = tiny_test_config(IMG)
+    frozen = init_clip_params(jax.random.PRNGKey(0), cfg.clip)
+    trainable = adapters_mod.init_adapter_params(jax.random.PRNGKey(1), cfg)
+    return cfg, frozen, trainable
+
+
+@pytest.fixture(scope="module")
+def batch():
+    rng = np.random.default_rng(5)
+    b = 8
+    return {
+        "image": rng.standard_normal((b, 3, IMG, IMG)).astype(np.float32),
+        "mask": (rng.random((b, 1, IMG, IMG)) > 0.8).astype(np.float32),
+        "label": rng.integers(0, 2, b).astype(np.int64),
+    }
+
+
+def test_device_count():
+    assert jax.device_count() == 8
+
+
+def test_data_parallel_stage2_matches_single_device(model, batch):
+    cfg, frozen, trainable = model
+    train_cfg = TrainConfig(img_size=IMG, image_epoch=1,
+                            compute_dtype="float32")
+    tx = optim.stage2_optimizer(trainable, train_cfg.image_lr, 10)
+    opt_state = tx.init(trainable)
+    anchors = jnp.asarray(
+        np.random.default_rng(2).standard_normal(
+            (8, cfg.clip.embed_dim, 2)).astype(np.float32))
+
+    args = (jnp.asarray(batch["image"]), jnp.asarray(batch["mask"]),
+            jnp.asarray(batch["label"]), anchors)
+
+    single = steps.make_stage2_step(cfg, train_cfg, tx,
+                                    compute_dtype=jnp.float32)
+    t1, _, loss1 = single(trainable, opt_state, frozen, *args)
+
+    mesh = mesh_mod.make_mesh()
+    sharded = steps.make_stage2_step(cfg, train_cfg, tx,
+                                     compute_dtype=jnp.float32, mesh=mesh)
+    t8, _, loss8 = sharded(trainable, opt_state, frozen, *args)
+
+    np.testing.assert_allclose(float(loss1), float(loss8), rtol=1e-4)
+    w1 = np.asarray(t1["image_adapter"]["det_proj"]["w"])
+    w8 = np.asarray(t8["image_adapter"]["det_proj"]["w"])
+    np.testing.assert_allclose(w1, w8, rtol=1e-4, atol=1e-5)
+
+
+def test_data_parallel_predict_matches_single_device(model, batch):
+    cfg, frozen, trainable = model
+    anchors = jnp.asarray(
+        np.random.default_rng(3).standard_normal(
+            (8, cfg.clip.embed_dim, 2)).astype(np.float32))
+    images = jnp.asarray(batch["image"])
+
+    single = make_predict_fn(cfg, IMG, "Industrial")
+    map1, logit1 = single(frozen, trainable, images, anchors)
+
+    mesh = mesh_mod.make_mesh()
+    dp = make_predict_fn(cfg, IMG, "Industrial", mesh=mesh)
+    map8, logit8 = dp(frozen, trainable, images, anchors)
+
+    np.testing.assert_allclose(np.asarray(map1), np.asarray(map8),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(logit1), np.asarray(logit8),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_tensor_parallel_backbone_sharding(model, batch):
+    """Backbone params shard over the 'model' axis; forward still matches."""
+    cfg, frozen, trainable = model
+    mesh = mesh_mod.make_mesh(n_data=2, n_model=4)
+    frozen_tp = mesh_mod.shard_backbone(mesh, frozen)
+
+    # qkv weights are actually sharded over columns (4-way on 'model')
+    qkv = frozen_tp["visual"]["blocks"][0]["attn"]["qkv"]["w"]
+    shard_shape = qkv.addressable_shards[0].data.shape
+    assert shard_shape[1] == qkv.shape[1] // 4
+
+    anchors = jnp.asarray(
+        np.random.default_rng(4).standard_normal(
+            (8, cfg.clip.embed_dim, 2)).astype(np.float32))
+    single = make_predict_fn(cfg, IMG, "Industrial")
+    ref_map, ref_logit = single(frozen, trainable,
+                                jnp.asarray(batch["image"]), anchors)
+
+    out_map, out_logit = single(frozen_tp, trainable,
+                                jnp.asarray(batch["image"]), anchors)
+    np.testing.assert_allclose(np.asarray(out_map), np.asarray(ref_map),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_logit), np.asarray(ref_logit),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_stage1_step_data_parallel(model, batch):
+    cfg, frozen, trainable = model
+    from aa_clip_iqm_tpu.data.synthetic import register_synthetic
+    import tempfile
+
+    register_synthetic(tempfile.mkdtemp(), dataset_name="SynthP")
+    from aa_clip_iqm_tpu.prompts import batched_prompt_tokens
+
+    classes, toks, n_norm, n_abn = batched_prompt_tokens("SynthP")
+    train_cfg = TrainConfig(img_size=IMG, compute_dtype="float32")
+    tx = optim.stage1_optimizer()
+    text_params = trainable["text_adapter"]
+    opt_state = tx.init(text_params)
+
+    mesh = mesh_mod.make_mesh()
+    visual_fn = steps.make_stage1_visual_fn(cfg, mesh=mesh)
+    step_fn = steps.make_stage1_step(cfg, train_cfg, toks, len(classes),
+                                     n_norm, n_abn, tx, mesh=mesh)
+    feats = visual_fn(frozen, jnp.asarray(batch["image"]))
+    class_idx = jnp.zeros(8, jnp.int32)
+    new_params, _, loss = step_fn(text_params, opt_state, frozen, feats,
+                                  jnp.asarray(batch["mask"]), class_idx)
+    assert np.isfinite(float(loss))
+    diff = np.abs(np.asarray(new_params["layers"][0]["w"]) -
+                  np.asarray(text_params["layers"][0]["w"])).max()
+    assert diff > 0
