@@ -242,10 +242,17 @@ def get_dataset(dataset_name: str, img_size: int, training_mode: Optional[str],
         return text_ds, image_ds
     if stage in ("test", "visualize"):
         meta = metadata_path(dataset_name, -1, metadata_root)
-        return {
-            c: SingleClassTestDataset(
+        datasets = {}
+        for c in CLASS_NAMES[dataset_name]:
+            ds = SingleClassTestDataset(
                 DATA_PATH[dataset_name], meta, img_size, c,
                 logger=logger if stage == "test" else None)
-            for c in CLASS_NAMES[dataset_name]
-        }
+            if len(ds) == 0:
+                # Partial datasets (e.g. a subset download) just skip the
+                # absent classes instead of failing the whole sweep.
+                if logger:
+                    logger.warning("class %s has no samples; skipping", c)
+                continue
+            datasets[c] = ds
+        return datasets
     raise ValueError(f"stage {stage} not found; available: train, test, visualize")

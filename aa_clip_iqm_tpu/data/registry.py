@@ -152,7 +152,10 @@ IMAGE_STD = (0.26862954, 0.26130258, 0.27577711)
 
 
 def metadata_path(dataset_name: str, shot: int = -1, metadata_root=None) -> str:
-    """JSONL metadata path, reference layout (dataset/__init__.py:226-233)."""
-    root = metadata_root or os.path.join(os.path.dirname(__file__), "metadata")
+    """JSONL metadata path, reference layout (dataset/__init__.py:226-233).
+    Root precedence: explicit arg > $AACLIP_METADATA_ROOT > packaged metadata/.
+    """
+    root = (metadata_root or os.environ.get("AACLIP_METADATA_ROOT")
+            or os.path.join(os.path.dirname(__file__), "metadata"))
     fname = f"{shot}-shot.jsonl" if shot > 0 else "full-shot.jsonl"
     return os.path.join(root, dataset_name, fname)

@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark: 518px anomaly-map inference throughput (images/sec/chip).
+
+Runs the full fused scoring pipeline (adapted ViT-L/14 forward with taps at
+{6,12,18,24}, seg/det projections, IQM query transformer, 4-level anchor
+similarity + Gaussian-blur/upsample as matmuls, 4-level IQM maps, fusion)
+in bfloat16 on the available accelerator and prints ONE JSON line.
+
+vs_baseline: the reference repo publishes no throughput numbers
+(BASELINE.md). We normalize against an estimated 20 images/sec for the
+reference PyTorch fp32 pipeline on a single A100-class GPU (ViT-L @ 518 is
+~1 TFLOP/image; the reference runs fp32 with per-level Python-loop
+post-processing). The north-star is >=5x that, i.e. vs_baseline >= 5.
+"""
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+REFERENCE_GPU_IMAGES_PER_SEC = 20.0  # documented estimate, see module docstring
+
+
+def main():
+    from aa_clip_iqm_tpu.evaluation.predict import make_predict_fn
+    from aa_clip_iqm_tpu.loader import (
+        build_model_config,
+        init_trainable,
+        load_frozen_backbone,
+    )
+
+    batch = 16
+    img = 518
+    cfg = build_model_config(img_size=img)
+    frozen = load_frozen_backbone(cfg, allow_random=True)
+    trainable = init_trainable(cfg)
+
+    predict = make_predict_fn(cfg, img, "Industrial",
+                              compute_dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    images = rng.standard_normal((batch, 3, img, img)).astype(np.float32)
+    anchors = rng.standard_normal(
+        (batch, cfg.clip.embed_dim, 2)).astype(np.float32)
+    anchors /= np.linalg.norm(anchors, axis=1, keepdims=True)
+
+    # Several distinct device-resident batches (steady-state serving overlaps
+    # host transfers; the metric is chip throughput). A tiny scalar fetch per
+    # iteration forces completion — plain block_until_ready does not
+    # synchronize through the remote-execution tunnel.
+    n_bufs = 4
+    image_bufs = [jnp.asarray(images + i) for i in range(n_bufs)]
+    anchors_dev = jnp.asarray(anchors)
+    m, s = predict(frozen, trainable, image_bufs[0], anchors_dev)
+    np.asarray(s)  # warmup + compile
+
+    iters = 12
+    t0 = time.perf_counter()
+    for i in range(iters):
+        m, s = predict(frozen, trainable, image_bufs[i % n_bufs], anchors_dev)
+        np.asarray(s)
+    dt = time.perf_counter() - t0
+    images_per_sec = batch * iters / dt
+
+    print(json.dumps({
+        "metric": "anomaly_map_inference_518px_images_per_sec_per_chip",
+        "value": round(images_per_sec, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(images_per_sec / REFERENCE_GPU_IMAGES_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
