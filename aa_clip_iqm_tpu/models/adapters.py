@@ -36,8 +36,6 @@ from ..ops.layers import (
     layer_norm,
     leaky_relu,
     linear,
-    norm_preserving_blend,
-    simple_adapter,
     simple_proj,
 )
 from . import clip as clip_model
@@ -70,10 +68,11 @@ def init_adapter_params(rng, cfg: ModelConfig):
 
     params = {
         "image_adapter": {
-            "layer_adapters": [
+            # Stacked (adapt_until, width, width) for lax.scan consumption.
+            "layer_adapters": clip_model.stack_blocks([
                 _xavier_linear(next(keys), v_width, v_width, bias=False)
                 for _ in range(a.image_adapt_until)
-            ],
+            ]),
             "seg_proj": [
                 _xavier_linear(next(keys), v_width, out_dim, bias=False)
                 for _ in range(n_levels)
@@ -81,10 +80,10 @@ def init_adapter_params(rng, cfg: ModelConfig):
             "det_proj": _xavier_linear(next(keys), v_width, out_dim, bias=False),
         },
         "text_adapter": {
-            "layers": [
+            "layers": clip_model.stack_blocks([
                 _xavier_linear(next(keys), t_width, t_width, bias=False)
                 for _ in range(a.text_adapt_until)
-            ],
+            ]),
             "proj": _xavier_linear(next(keys), t_width, t_width, bias=False),
         },
         "iqm": iqm_model.init_iqm_params(next(keys), cfg.iqm),
@@ -118,7 +117,8 @@ class AdaptedOutputs:
 
 def encode_image_adapted(frozen, trainable, cfg: ModelConfig, images,
                          text_anchors=None, compute_dtype=jnp.float32,
-                         use_pallas: bool = False) -> AdaptedOutputs:
+                         use_pallas: bool = False,
+                         remat: bool = False) -> AdaptedOutputs:
     """AdaptedCLIP.forward (model/adapter.py:137-271), functional.
 
     text_anchors: (B, embed_dim, 2) per-sample anchors, or None to skip IQM.
@@ -127,16 +127,11 @@ def encode_image_adapted(frozen, trainable, cfg: ModelConfig, images,
     vis = frozen["visual"]
     ia = trainable["image_adapter"]
 
-    def adapter_hook(i, x):
-        if i < a.image_adapt_until:
-            adapted = simple_adapter(ia["layer_adapters"][i], x)
-            x = norm_preserving_blend(x, adapted, a.image_adapt_weight)
-        return x
-
     _, taps, x_final = clip_model.vision_forward(
         vis, cfg.clip.vision, images, out_layers=tuple(a.levels),
-        act_name=cfg.clip.act, adapter_hook=adapter_hook,
-        compute_dtype=compute_dtype, use_pallas=use_pallas,
+        act_name=cfg.clip.act, adapters=ia["layer_adapters"],
+        adapter_weight=a.image_adapt_weight, adapt_until=a.image_adapt_until,
+        compute_dtype=compute_dtype, use_pallas=use_pallas, remat=remat,
     )
 
     # Patch tokens (CLS dropped) -> frozen ln_post (model/adapter.py:172-176).
@@ -198,18 +193,13 @@ def encode_text_adapted(frozen, trainable, cfg: ModelConfig, tokens,
     a = cfg.adapter
     ta = trainable["text_adapter"]
 
-    def adapter_hook(i, x):
-        if i < a.text_adapt_until:
-            adapted = simple_adapter(ta["layers"][i], x)
-            x = norm_preserving_blend(x, adapted, a.text_adapt_weight)
-        return x
-
     def final_proj(pooled):
         return leaky_relu(linear(ta["proj"], pooled))
 
     return clip_model.text_forward(
         frozen["text"], cfg.clip.text, tokens, act_name=cfg.clip.act,
-        adapter_hook=adapter_hook, final_proj=final_proj,
+        adapters=ta["layers"], adapter_weight=a.text_adapt_weight,
+        adapt_until=a.text_adapt_until, final_proj=final_proj,
         compute_dtype=compute_dtype,
     )
 

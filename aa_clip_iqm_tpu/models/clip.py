@@ -75,6 +75,22 @@ def _init_block(rng, width, mlp_ratio=4.0):
     }
 
 
+def stack_blocks(blocks):
+    """List of per-layer block pytrees -> one pytree with leaves stacked on
+    axis 0 (layers-major). Enables lax.scan over layers: compile time is one
+    block body instead of `layers` copies."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *blocks)
+
+
+def block_slice(stacked, i: int):
+    """Extract layer i's params from a stacked block pytree."""
+    return jax.tree.map(lambda x: x[i], stacked)
+
+
+def num_blocks(stacked) -> int:
+    return jax.tree.leaves(stacked)[0].shape[0]
+
+
 def init_vision_params(rng, cfg: VisionConfig):
     ks = jax.random.split(rng, cfg.layers + 4)
     scale = cfg.width ** -0.5
@@ -86,9 +102,9 @@ def init_vision_params(rng, cfg: VisionConfig):
             jax.random.normal(ks[2], (cfg.num_patches + 1, cfg.width)) * scale
         ),
         "ln_pre": _init_ln(cfg.width),
-        "blocks": [
+        "blocks": stack_blocks([
             _init_block(ks[4 + i], cfg.width, cfg.mlp_ratio) for i in range(cfg.layers)
-        ],
+        ]),
         "ln_post": _init_ln(cfg.width),
         "proj": jax.random.normal(ks[3], (cfg.width, cfg.output_dim)) * scale,
     }
@@ -101,7 +117,9 @@ def init_text_params(rng, cfg: TextConfig):
         "positional_embedding": (
             jax.random.normal(ks[1], (cfg.context_length, cfg.width)) * 0.01
         ),
-        "blocks": [_init_block(ks[3 + i], cfg.width) for i in range(cfg.layers)],
+        "blocks": stack_blocks(
+            [_init_block(ks[3 + i], cfg.width) for i in range(cfg.layers)]
+        ),
         "ln_final": _init_ln(cfg.width),
         "text_projection": (
             jax.random.normal(ks[2], (cfg.width, cfg.output_dim)) * cfg.width ** -0.5
@@ -150,6 +168,51 @@ def _run_block(block, x, num_heads, act, attn_mask=None, vv=False,
     return x
 
 
+def run_block_range(stacked, x, start: int, stop: int, num_heads: int, act,
+                    attn_mask=None, vv: bool = False, adapters=None,
+                    adapter_weight: float = 0.0, use_pallas: bool = False,
+                    remat: bool = False):
+    """lax.scan blocks [start, stop) of a stacked-parameter tower.
+
+    Compile-time design: all homogeneous layer ranges run as one scanned block
+    body (the program contains each block's HLO once), instead of the
+    reference's per-layer module loop unrolled 24x into the graph.
+
+    adapters: stacked residual-adapter params covering exactly [start, stop)
+    (SimpleAdapter + norm-preserving blend after each block,
+    model/adapter.py:163-170); None for plain ranges.
+    """
+    if stop <= start:
+        return x
+    from ..ops.layers import norm_preserving_blend, simple_adapter
+
+    seg = jax.tree.map(lambda p: p[start:stop], stacked)
+
+    def body(carry, layer_params):
+        if adapters is None:
+            block = layer_params
+        else:
+            block, adapter = layer_params
+        y = _run_block(block, carry, num_heads, act, attn_mask=attn_mask,
+                       vv=vv, use_pallas=use_pallas)
+        if adapters is not None:
+            y = norm_preserving_blend(y, simple_adapter(adapter, y),
+                                      adapter_weight)
+        return y, None
+
+    if remat:
+        body = jax.checkpoint(body)
+    xs = seg if adapters is None else (seg, adapters)
+    x, _ = jax.lax.scan(body, x, xs)
+    return x
+
+
+def _segments(n_layers: int, events) -> list:
+    """Sorted consecutive (start, stop) ranges split at the given events."""
+    bounds = sorted({0, n_layers, *[e for e in events if 0 <= e <= n_layers]})
+    return list(zip(bounds[:-1], bounds[1:]))
+
+
 def vision_forward(
     params,
     cfg: VisionConfig,
@@ -157,11 +220,14 @@ def vision_forward(
     out_layers: Sequence[int] = (),
     act_name: str = "gelu",
     vv_from: Optional[int] = None,
-    adapter_hook=None,
+    adapters=None,
+    adapter_weight: float = 0.0,
+    adapt_until: int = 0,
     compute_dtype=jnp.float32,
     use_pallas: bool = False,
+    remat: bool = False,
 ):
-    """ViT forward with multi-depth taps.
+    """ViT forward with multi-depth taps, scanned in homogeneous segments.
 
     Args:
       out_layers: 1-based layer indices whose full token outputs (incl. CLS)
@@ -169,8 +235,8 @@ def vision_forward(
         (model/transformer.py:295-317).
       vv_from: 0-based block index from which attention is value-value
         (surgery). DAPM_replace(DPAM_layer=k) == vv_from = layers - (k - 1).
-      adapter_hook: optional fn(layer_idx, x) -> x applied after each block
-        (used by AdaptedCLIP for residual adapters on early layers).
+      adapters: stacked SimpleAdapter params (adapt_until, width, width)
+        applied after blocks [0, adapt_until) with the norm-preserving blend.
 
     Returns: (pooled (B, output_dim), taps list of (B, L+1, width), final x).
     """
@@ -183,13 +249,21 @@ def vision_forward(
     x = layer_norm(params["ln_pre"], x)
 
     act = ACTIVATIONS[act_name]
+    events = [adapt_until, *out_layers]
+    if vv_from is not None:
+        events.append(vv_from)
     taps = []
-    for i, block in enumerate(params["blocks"]):
-        vv = vv_from is not None and i >= vv_from
-        x = _run_block(block, x, cfg.heads, act, vv=vv, use_pallas=use_pallas)
-        if adapter_hook is not None:
-            x = adapter_hook(i, x)
-        if (i + 1) in out_layers:
+    for start, stop in _segments(cfg.layers, events):
+        seg_adapters = None
+        if start < adapt_until:
+            seg_adapters = jax.tree.map(lambda p: p[start:stop], adapters)
+        x = run_block_range(
+            params["blocks"], x, start, stop, cfg.heads, act,
+            vv=vv_from is not None and start >= vv_from,
+            adapters=seg_adapters, adapter_weight=adapter_weight,
+            use_pallas=use_pallas, remat=remat,
+        )
+        if stop in out_layers:
             taps.append(x)
 
     pooled = layer_norm(params["ln_post"], x[:, 0])
@@ -203,7 +277,9 @@ def text_forward(
     cfg: TextConfig,
     tokens,
     act_name: str = "gelu",
-    adapter_hook=None,
+    adapters=None,
+    adapter_weight: float = 0.0,
+    adapt_until: int = 0,
     final_proj="clip",
     compute_dtype=jnp.float32,
 ):
@@ -211,7 +287,9 @@ def text_forward(
 
     Args:
       tokens: (B, ctx) int32 token ids (0-padded, EOT = max id in row).
-      adapter_hook: optional fn(layer_idx, x) -> x after each block.
+      adapters: stacked SimpleAdapter params (adapt_until, width, width)
+        applied after blocks [0, adapt_until) with the norm-preserving blend
+        (model/adapter.py:284-295).
       final_proj: "clip" -> pooled @ text_projection;
                   callable -> applied to pooled ln_final output instead
                   (AdaptedCLIP replaces the projection with a trained
@@ -223,10 +301,13 @@ def text_forward(
     x = x + params["positional_embedding"].astype(compute_dtype)
     mask = attn_ops.causal_mask(cfg.context_length)
     act = ACTIVATIONS[act_name]
-    for i, block in enumerate(params["blocks"]):
-        x = _run_block(block, x, cfg.heads, act, attn_mask=mask)
-        if adapter_hook is not None:
-            x = adapter_hook(i, x)
+    for start, stop in _segments(cfg.layers, [adapt_until]):
+        seg_adapters = None
+        if start < adapt_until:
+            seg_adapters = jax.tree.map(lambda p: p[start:stop], adapters)
+        x = run_block_range(params["blocks"], x, start, stop, cfg.heads, act,
+                            attn_mask=mask, adapters=seg_adapters,
+                            adapter_weight=adapter_weight)
     x = layer_norm(params["ln_final"], x)
     eot = jnp.argmax(tokens, axis=-1)
     pooled = x[jnp.arange(x.shape[0]), eot]
@@ -266,29 +347,30 @@ def dual_vision_features(
     x = x + params["positional_embedding"].astype(compute_dtype)
     x = layer_norm(params["ln_pre"], x)
 
+    if any(t <= vv_from for t in out_layers):
+        raise ValueError(
+            "tap layers inside the shared prefix are ambiguous between "
+            "branches; DAPM surgery starts before the first tap in all "
+            "reference configurations"
+        )
+
     act = ACTIVATIONS[act_name]
-    for i in range(vv_from):
-        x = _run_block(params["blocks"][i], x, cfg.heads, act,
-                       use_pallas=use_pallas)
-        if (i + 1) in out_layers:
-            raise ValueError(
-                "tap layers inside the shared prefix are ambiguous between "
-                "branches; DAPM surgery starts before the first tap in all "
-                "reference configurations"
-            )
+    n_layers = cfg.layers
+    x = run_block_range(params["blocks"], x, 0, vv_from, cfg.heads, act,
+                        use_pallas=use_pallas)
 
     taps = []
     xs = x
-    for i in range(vv_from, len(params["blocks"])):
-        xs = _run_block(params["blocks"][i], xs, cfg.heads, act, vv=True,
-                        use_pallas=use_pallas)
-        if (i + 1) in out_layers:
+    for start, stop in _segments(n_layers, [vv_from, *out_layers]):
+        if stop <= vv_from:
+            continue
+        xs = run_block_range(params["blocks"], xs, start, stop, cfg.heads,
+                             act, vv=True, use_pallas=use_pallas)
+        if stop in out_layers:
             taps.append(xs)
 
-    xp = x
-    for i in range(vv_from, len(params["blocks"])):
-        xp = _run_block(params["blocks"][i], xp, cfg.heads, act,
-                        use_pallas=use_pallas)
+    xp = run_block_range(params["blocks"], x, vv_from, n_layers, cfg.heads,
+                         act, use_pallas=use_pallas)
     pooled = layer_norm(params["ln_post"], xp[:, 0])
     pooled = jnp.dot(pooled, params["proj"].astype(pooled.dtype),
                      preferred_element_type=jnp.float32).astype(xp.dtype)

@@ -71,21 +71,26 @@ def torch_state_dict_to_params(sd: Dict[str, "np.ndarray"], cfg: CLIPConfig):
     pos = np.asarray(sd["visual.positional_embedding"], np.float32)
     pos = resize_pos_embed_np(pos, cfg.vision.grid)
 
+    def stack_np(blocks):
+        import jax
+
+        return jax.tree.map(lambda *xs: np.stack(xs, axis=0), *blocks)
+
     visual = {
         "patch_embed": {"w": patch_embed_w},
         "class_embedding": np.asarray(sd["visual.class_embedding"], np.float32),
         "positional_embedding": pos,
         "ln_pre": _ln(sd, "visual.ln_pre"),
-        "blocks": [_block(sd, f"visual.transformer.resblocks.{i}")
-                   for i in range(n_vis)],
+        "blocks": stack_np([_block(sd, f"visual.transformer.resblocks.{i}")
+                            for i in range(n_vis)]),
         "ln_post": _ln(sd, "visual.ln_post"),
         "proj": np.asarray(sd["visual.proj"], np.float32),
     }
     text = {
         "token_embedding": np.asarray(sd["token_embedding.weight"], np.float32),
         "positional_embedding": np.asarray(sd["positional_embedding"], np.float32),
-        "blocks": [_block(sd, f"transformer.resblocks.{i}")
-                   for i in range(cfg.text.layers)],
+        "blocks": stack_np([_block(sd, f"transformer.resblocks.{i}")
+                            for i in range(cfg.text.layers)]),
         "ln_final": _ln(sd, "ln_final"),
         "text_projection": np.asarray(sd["text_projection"], np.float32),
     }

@@ -1,0 +1,161 @@
+"""Blockwise (flash-style) fused attention as a Pallas TPU kernel.
+
+Why: at 518px the ViT runs 24 attention layers over 1370 tokens. The naive
+path materializes the (L, L) probability tensor in HBM per head per layer —
+at batch 16 that is ~1.9 GB of HBM traffic per layer each way, which is the
+bandwidth bottleneck of the whole model. This kernel keeps the running
+softmax statistics in VMEM (online softmax) and never writes the L x L
+matrix, so attention becomes MXU-bound.
+
+Design:
+  - grid (batch*heads, Lq/BLK_Q); K/V for one head live fully in VMEM
+    (1408 x 64 fp32 = 350 KB — fits easily in 16 MB VMEM).
+  - fp32 accumulation; logits computed with preferred_element_type=fp32;
+    probabilities cast to the value dtype for the p @ v MXU matmul.
+  - sequence padded to a multiple of the 128-lane tile; padded keys are
+    masked with -inf inside the kernel, padded query rows are sliced off
+    by the caller.
+  - backward: custom_vjp that recomputes attention with XLA ops (training
+    batches here are tiny — reference uses batch 2 — so the recomputed
+    (L, L) tensor is cheap; inference never takes this path).
+
+Supports the v-v "surgery" variant trivially (pass v as q and k).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLK_Q = 128
+LANE = 128
+
+# Interpreter-mode switch for CPU tests (pallas interprets the same kernel
+# that Mosaic compiles on TPU).
+INTERPRET = False
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int,
+                  blk_k: int, n_k: int):
+    q = q_ref[0].astype(jnp.float32) * scale              # (BLK_Q, hd)
+    hd = q.shape[-1]
+    m_i = jnp.full((BLK_Q, 1), -jnp.inf, jnp.float32)
+    l_i = jnp.zeros((BLK_Q, 1), jnp.float32)
+    acc = jnp.zeros((BLK_Q, hd), jnp.float32)
+
+    for kb in range(n_k):
+        k_blk = k_ref[0, kb * blk_k:(kb + 1) * blk_k, :]  # (blk_k, hd)
+        v_blk = v_ref[0, kb * blk_k:(kb + 1) * blk_k, :]
+        s = jax.lax.dot_general(
+            q, k_blk.astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                  # (BLK_Q, blk_k)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kb * blk_k
+        s = jnp.where(col < seq_len, s, -jnp.inf)
+
+        m_new = jnp.maximum(m_i, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_i - m_new)
+        p = jnp.exp(s - m_new)
+        l_i = l_i * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p.astype(v_blk.dtype), v_blk,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_i = m_new
+
+    o_ref[0] = (acc / l_i).astype(o_ref.dtype)
+
+
+def _flash_forward(q, k, v, scale: float):
+    """q, k, v: (BH, L, hd) -> (BH, L, hd)."""
+    bh, seq_len, hd = q.shape
+    l_pad = _round_up(seq_len, BLK_Q)
+    blk_k = LANE
+    n_k = l_pad // blk_k
+
+    def pad(x):
+        if x.shape[1] == l_pad:
+            return x
+        return jnp.pad(x, ((0, 0), (0, l_pad - x.shape[1]), (0, 0)))
+
+    qp, kp, vp = pad(q), pad(k), pad(v)
+    kernel = functools.partial(_flash_kernel, scale=scale, seq_len=seq_len,
+                               blk_k=blk_k, n_k=n_k)
+    out = pl.pallas_call(
+        kernel,
+        grid=(bh, l_pad // BLK_Q),
+        in_specs=[
+            pl.BlockSpec((1, BLK_Q, hd), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l_pad, hd), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l_pad, hd), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, BLK_Q, hd), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, l_pad, hd), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * l_pad * l_pad * hd,
+            bytes_accessed=3 * bh * l_pad * hd * q.dtype.itemsize,
+            transcendentals=bh * l_pad * l_pad,
+        ),
+        interpret=INTERPRET,
+    )(qp, kp, vp)
+    return out[:, :seq_len, :]
+
+
+def _reference_sdpa(q, k, v, scale):
+    logits = jnp.einsum("bqd,bkd->bqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bqk,bkd->bqd", probs.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(v.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash_attention_bh(q, k, v, scale):
+    return _flash_forward(q, k, v, scale)
+
+
+def _fwd(q, k, v, scale):
+    return _flash_forward(q, k, v, scale), (q, k, v)
+
+
+def _bwd(scale, res, g):
+    # Recompute-based backward with XLA ops (used only in small-batch
+    # training; see module docstring).
+    q, k, v = res
+
+    def f(q, k, v):
+        return _reference_sdpa(q, k, v, scale)
+
+    _, vjp = jax.vjp(f, q, k, v)
+    return vjp(g)
+
+
+_flash_attention_bh.defvjp(_fwd, _bwd)
+
+
+def flash_mha(q, k, v, scale: float, attn_mask=None):
+    """(B, H, L, hd) fused attention. Falls back to the XLA path when an
+    additive mask is supplied (the text tower's 77-token causal attention is
+    not worth a kernel) or when not running on TPU."""
+    if attn_mask is not None or q.shape[-2] < 2 * BLK_Q:
+        from .attention import sdpa
+
+        return sdpa(q, k, v, scale, attn_mask)
+    b, h, l, hd = q.shape
+    out = _flash_attention_bh(
+        q.reshape(b * h, l, hd), k.reshape(b * h, l, hd),
+        v.reshape(b * h, l, hd), scale)
+    return out.reshape(b, h, l, hd)

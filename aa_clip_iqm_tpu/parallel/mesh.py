@@ -93,23 +93,25 @@ def backbone_param_sharding(mesh: Mesh, params):
     """
 
     def block_spec(block):
+        # Stacked-layer layout: leading axis is layers, then torch-equivalent
+        # weight axes (see models/clip.py docstring).
         return {
             "ln_1": jax.tree.map(lambda _: P(), block["ln_1"]),
             "attn": {
-                "qkv": {"w": P(None, "model"), "b": P("model")},
-                "out": {"w": P("model", None), "b": P()},
+                "qkv": {"w": P(None, None, "model"), "b": P(None, "model")},
+                "out": {"w": P(None, "model", None), "b": P()},
             },
             "ln_2": jax.tree.map(lambda _: P(), block["ln_2"]),
             "mlp": {
-                "c_fc": {"w": P(None, "model"), "b": P("model")},
-                "c_proj": {"w": P("model", None), "b": P()},
+                "c_fc": {"w": P(None, None, "model"), "b": P(None, "model")},
+                "c_proj": {"w": P(None, "model", None), "b": P()},
             },
         }
 
     def tower_spec(tower):
         return {
             k: (
-                [block_spec(b) for b in v] if k == "blocks"
+                block_spec(v) if k == "blocks"
                 else jax.tree.map(lambda _: P(), v)
             )
             for k, v in tower.items()

@@ -13,6 +13,10 @@ reference PyTorch fp32 pipeline on a single A100-class GPU (ViT-L @ 518 is
 post-processing). The north-star is >=5x that, i.e. vs_baseline >= 5.
 """
 import json
+
+from aa_clip_iqm_tpu.platform import apply_platform_override
+
+apply_platform_override()
 import time
 
 import numpy as np

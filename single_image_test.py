@@ -8,6 +8,10 @@ none, a zero-shot map is produced from the raw CLIP + surgery features and
 frozen text anchors (the stage-1 feature path, train.py:75-85).
 """
 import argparse
+
+from aa_clip_iqm_tpu.platform import apply_platform_override
+
+apply_platform_override()
 import os
 
 import numpy as np

@@ -5,6 +5,10 @@ text anchors, sweeps every class of the dataset and prints the metric table.
 """
 import argparse
 
+from aa_clip_iqm_tpu.platform import apply_platform_override
+
+apply_platform_override()
+
 import jax
 
 from aa_clip_iqm_tpu.configs import EvalConfig

@@ -55,7 +55,7 @@ def test_encode_image_adapted_parity(setup):
 
     def hook(i, x):
         if i < a.image_adapt_until:
-            w = np.asarray(ia["layer_adapters"][i]["w"])
+            w = np.asarray(ia["layer_adapters"]["w"])[i]
             x = _torch_blend(x, w, a.image_adapt_weight)
         return x
 
@@ -97,7 +97,7 @@ def test_encode_text_adapted_parity(setup):
 
     def hook(i, x):
         if i < a.text_adapt_until:
-            x = _torch_blend(x, np.asarray(ta["layers"][i]["w"]),
+            x = _torch_blend(x, np.asarray(ta["layers"]["w"])[i],
                              a.text_adapt_weight)
         return x
 

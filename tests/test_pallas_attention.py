@@ -1,0 +1,89 @@
+"""Flash-attention kernel parity vs the XLA reference path (interpret mode on
+CPU; the same kernel compiles for TPU via Mosaic)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from aa_clip_iqm_tpu.ops import pallas_attention as pa
+from aa_clip_iqm_tpu.ops.attention import sdpa
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    pa.INTERPRET = True
+    yield
+    pa.INTERPRET = False
+
+
+def _rand_qkv(rng, b, h, l, hd, dtype=np.float32):
+    def r():
+        return rng.standard_normal((b, h, l, hd)).astype(dtype)
+
+    return r(), r(), r()
+
+
+@pytest.mark.parametrize("seq_len", [256, 384, 1370])
+def test_flash_matches_sdpa(rng, seq_len):
+    b, h, hd = 1, 2, 64
+    q, k, v = _rand_qkv(rng, b, h, seq_len, hd)
+    scale = hd ** -0.5
+    ref = np.asarray(sdpa(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                          scale))
+    out = np.asarray(pa.flash_mha(jnp.asarray(q), jnp.asarray(k),
+                                  jnp.asarray(v), scale))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_flash_vv_semantics(rng):
+    """v-v surgery: passing v for q and k gives value-value attention."""
+    b, h, l, hd = 1, 2, 256, 64
+    _, _, v = _rand_qkv(rng, b, h, l, hd)
+    scale = hd ** -0.5
+    vj = jnp.asarray(v)
+    ref = np.asarray(sdpa(vj, vj, vj, scale))
+    out = np.asarray(pa.flash_mha(vj, vj, vj, scale))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_flash_short_seq_falls_back(rng):
+    b, h, l, hd = 2, 2, 77, 32
+    q, k, v = _rand_qkv(rng, b, h, l, hd)
+    scale = hd ** -0.5
+    mask = np.triu(np.full((l, l), -np.inf, np.float32), 1)
+    ref = np.asarray(sdpa(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                          scale, jnp.asarray(mask)))
+    out = np.asarray(pa.flash_mha(jnp.asarray(q), jnp.asarray(k),
+                                  jnp.asarray(v), scale,
+                                  attn_mask=jnp.asarray(mask)))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_flash_bf16(rng):
+    b, h, l, hd = 1, 2, 256, 64
+    q, k, v = _rand_qkv(rng, b, h, l, hd, dtype=np.float32)
+    scale = hd ** -0.5
+    qb, kb, vb = (jnp.asarray(x, jnp.bfloat16) for x in (q, k, v))
+    ref = np.asarray(sdpa(qb, kb, vb, scale).astype(jnp.float32))
+    out = np.asarray(pa.flash_mha(qb, kb, vb, scale).astype(jnp.float32))
+    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_flash_gradient_matches_sdpa(rng):
+    b, h, l, hd = 1, 1, 256, 64
+    q, k, v = _rand_qkv(rng, b, h, l, hd)
+    scale = hd ** -0.5
+
+    def loss_flash(q, k, v):
+        return jnp.sum(pa.flash_mha(q, k, v, scale) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(sdpa(q, k, v, scale) ** 2)
+
+    args = (jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(*args)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(*args)
+    for gf, gr in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   rtol=1e-3, atol=1e-4)

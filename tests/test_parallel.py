@@ -97,10 +97,10 @@ def test_tensor_parallel_backbone_sharding(model, batch):
     mesh = mesh_mod.make_mesh(n_data=2, n_model=4)
     frozen_tp = mesh_mod.shard_backbone(mesh, frozen)
 
-    # qkv weights are actually sharded over columns (4-way on 'model')
-    qkv = frozen_tp["visual"]["blocks"][0]["attn"]["qkv"]["w"]
+    # stacked qkv weights (L, d, 3d) shard their column axis 4-way on 'model'
+    qkv = frozen_tp["visual"]["blocks"]["attn"]["qkv"]["w"]
     shard_shape = qkv.addressable_shards[0].data.shape
-    assert shard_shape[1] == qkv.shape[1] // 4
+    assert shard_shape[2] == qkv.shape[2] // 4
 
     anchors = jnp.asarray(
         np.random.default_rng(4).standard_normal(
@@ -140,6 +140,6 @@ def test_stage1_step_data_parallel(model, batch):
     new_params, _, loss = step_fn(text_params, opt_state, frozen, feats,
                                   jnp.asarray(batch["mask"]), class_idx)
     assert np.isfinite(float(loss))
-    diff = np.abs(np.asarray(new_params["layers"][0]["w"]) -
-                  np.asarray(text_params["layers"][0]["w"])).max()
+    diff = np.abs(np.asarray(new_params["layers"]["w"]) -
+                  np.asarray(text_params["layers"]["w"])).max()
     assert diff > 0

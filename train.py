@@ -7,6 +7,10 @@ Example:
 """
 import argparse
 
+from aa_clip_iqm_tpu.platform import apply_platform_override
+
+apply_platform_override()
+
 import jax
 
 from aa_clip_iqm_tpu.configs import TrainConfig
