@@ -27,10 +27,18 @@ from typing import Dict, List, Optional
 import numpy as np
 from PIL import Image
 
+from . import native as native_pipeline
 from .registry import CLASS_NAMES, DATA_PATH, IMAGE_MEAN, IMAGE_STD, metadata_path
 
 _MEAN = np.asarray(IMAGE_MEAN, np.float32).reshape(3, 1, 1)
 _STD = np.asarray(IMAGE_STD, np.float32).reshape(3, 1, 1)
+
+
+def _use_native() -> bool:
+    """The C++ pipeline (native/image_pipeline.cpp) is the default transform
+    backend; AACLIP_NATIVE=0 forces the PIL/cv2 fallback."""
+    return (os.environ.get("AACLIP_NATIVE", "1") != "0"
+            and native_pipeline.available())
 
 
 def load_metadata(meta_path: str, class_name: Optional[str] = None) -> List[dict]:
@@ -47,18 +55,23 @@ def load_metadata(meta_path: str, class_name: Optional[str] = None) -> List[dict
 
 
 def _load_image(path: str, img_size: int) -> np.ndarray:
-    """RGB bicubic resize -> CHW float32 in [0,1]."""
-    img = Image.open(path).convert("RGB").resize(
-        (img_size, img_size), Image.BICUBIC
-    )
-    arr = np.asarray(img, np.float32) / 255.0
+    """RGB bicubic resize -> CHW float32 in [0,1] (native fast path when
+    compiled; PIL parity verified in tests/test_native_pipeline.py)."""
+    img = Image.open(path).convert("RGB")
+    if _use_native():
+        return native_pipeline.resize_bicubic_rgb(np.asarray(img), img_size)
+    arr = np.asarray(img.resize((img_size, img_size), Image.BICUBIC),
+                     np.float32) / 255.0
     return arr.transpose(2, 0, 1)
 
 
 def _load_mask(path: str, img_size: int) -> np.ndarray:
     """Grayscale nearest resize -> (1, H, W) binary float32."""
-    m = Image.open(path).convert("L").resize((img_size, img_size), Image.NEAREST)
-    arr = (np.asarray(m) != 0).astype(np.float32)
+    m = Image.open(path).convert("L")
+    if _use_native():
+        return native_pipeline.resize_nearest_mask(np.asarray(m), img_size)[None]
+    arr = (np.asarray(m.resize((img_size, img_size), Image.NEAREST)) != 0
+           ).astype(np.float32)
     return arr[None]
 
 
@@ -86,28 +99,42 @@ def _color_jitter(rng: np.random.Generator, img01: np.ndarray) -> np.ndarray:
 def _joint_geometric(rng: np.random.Generator, stacked: np.ndarray) -> np.ndarray:
     """Rotation/translate/flip applied identically to all channels.
 
-    stacked: (C, H, W) with image channels + mask channel. Bilinear warp via
-    cv2 (mask stays near-binary; the reference also bilinear-warps the mask
+    stacked: (C, H, W) with image channels + mask channel. Bilinear warp
+    (mask stays near-binary; the reference also bilinear-warps the mask
     through torchvision and re-thresholds implicitly at loss time).
     """
-    import cv2
-
     c, h, w = stacked.shape
-    img = stacked.transpose(1, 2, 0)
+    use_native = _use_native()
+
+    def warp(chw, M):
+        if use_native:
+            return native_pipeline.warp_affine_chw(chw, np.asarray(M))
+        import cv2
+
+        return cv2.warpAffine(
+            chw.transpose(1, 2, 0), np.asarray(M, np.float32), (w, h),
+            flags=cv2.INTER_LINEAR).transpose(2, 0, 1)
+
+    def rotation_matrix(angle_deg):
+        # cv2.getRotationMatrix2D about the pixel-center of the image.
+        a = np.deg2rad(angle_deg)
+        cx, cy = w / 2 - 0.5, h / 2 - 0.5
+        cos, sin = np.cos(a), np.sin(a)
+        return np.array([[cos, sin, (1 - cos) * cx - sin * cy],
+                         [-sin, cos, sin * cx + (1 - cos) * cy]], np.float64)
+
+    img = stacked
     if rng.random() < 0.5:  # rotation ±30°
-        angle = rng.uniform(-30.0, 30.0)
-        M = cv2.getRotationMatrix2D((w / 2 - 0.5, h / 2 - 0.5), angle, 1.0)
-        img = cv2.warpAffine(img, M, (w, h), flags=cv2.INTER_LINEAR)
+        img = warp(img, rotation_matrix(rng.uniform(-30.0, 30.0)))
     if rng.random() < 0.5:  # translate ±0.15
         tx = rng.uniform(-0.15, 0.15) * w
         ty = rng.uniform(-0.15, 0.15) * h
-        M = np.float32([[1, 0, tx], [0, 1, ty]])
-        img = cv2.warpAffine(img, M, (w, h), flags=cv2.INTER_LINEAR)
+        img = warp(img, np.array([[1, 0, tx], [0, 1, ty]], np.float64))
     if rng.random() < 0.5:
-        img = img[:, ::-1]
+        img = img[:, :, ::-1]
     if rng.random() < 0.5:
-        img = img[::-1, :]
-    return np.ascontiguousarray(img).transpose(2, 0, 1)
+        img = img[:, ::-1, :]
+    return np.ascontiguousarray(img)
 
 
 class TrainDataset:

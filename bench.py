@@ -27,27 +27,10 @@ import jax.numpy as jnp
 REFERENCE_GPU_IMAGES_PER_SEC = 20.0  # documented estimate, see module docstring
 
 
-def main():
-    from aa_clip_iqm_tpu.evaluation.predict import make_predict_fn
-    from aa_clip_iqm_tpu.loader import (
-        build_model_config,
-        init_trainable,
-        load_frozen_backbone,
-    )
-
-    batch = 16
-    img = 518
-    cfg = build_model_config(img_size=img)
-    frozen = load_frozen_backbone(cfg, allow_random=True)
-    trainable = init_trainable(cfg)
-
-    predict = make_predict_fn(cfg, img, "Industrial",
-                              compute_dtype=jnp.bfloat16)
-
+def _measure(predict, frozen, trainable, batch, img, embed_dim, iters=10):
     rng = np.random.default_rng(0)
     images = rng.standard_normal((batch, 3, img, img)).astype(np.float32)
-    anchors = rng.standard_normal(
-        (batch, cfg.clip.embed_dim, 2)).astype(np.float32)
+    anchors = rng.standard_normal((batch, embed_dim, 2)).astype(np.float32)
     anchors /= np.linalg.norm(anchors, axis=1, keepdims=True)
 
     # Several distinct device-resident batches (steady-state serving overlaps
@@ -60,19 +43,52 @@ def main():
     m, s = predict(frozen, trainable, image_bufs[0], anchors_dev)
     np.asarray(s)  # warmup + compile
 
-    iters = 12
     t0 = time.perf_counter()
     for i in range(iters):
         m, s = predict(frozen, trainable, image_bufs[i % n_bufs], anchors_dev)
         np.asarray(s)
     dt = time.perf_counter() - t0
-    images_per_sec = batch * iters / dt
+    return batch * iters / dt
+
+
+def main():
+    from aa_clip_iqm_tpu.evaluation.predict import make_predict_fn
+    from aa_clip_iqm_tpu.loader import (
+        build_model_config,
+        init_trainable,
+        load_frozen_backbone,
+    )
+
+    img = 518
+    cfg = build_model_config(img_size=img)
+    frozen = load_frozen_backbone(cfg, allow_random=True)
+    trainable = init_trainable(cfg)
+
+    import os
+
+    configs = []
+    if os.environ.get("AACLIP_BENCH_SWEEP"):
+        configs = [(16, False), (16, True), (32, False), (32, True)]
+    else:
+        configs = [(int(os.environ.get("AACLIP_BENCH_BATCH", 32)),
+                    os.environ.get("AACLIP_BENCH_PALLAS", "1") == "1")]
+
+    best = 0.0
+    for batch, use_pallas in configs:
+        predict = make_predict_fn(cfg, img, "Industrial",
+                                  compute_dtype=jnp.bfloat16,
+                                  use_pallas=use_pallas)
+        ips = _measure(predict, frozen, trainable, batch, img,
+                       cfg.clip.embed_dim)
+        if os.environ.get("AACLIP_BENCH_SWEEP"):
+            print(f"# batch={batch} pallas={use_pallas}: {ips:.2f} img/s")
+        best = max(best, ips)
 
     print(json.dumps({
         "metric": "anomaly_map_inference_518px_images_per_sec_per_chip",
-        "value": round(images_per_sec, 2),
+        "value": round(best, 2),
         "unit": "images/sec",
-        "vs_baseline": round(images_per_sec / REFERENCE_GPU_IMAGES_PER_SEC, 2),
+        "vs_baseline": round(best / REFERENCE_GPU_IMAGES_PER_SEC, 2),
     }))
 
 
