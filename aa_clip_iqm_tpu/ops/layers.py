@@ -86,3 +86,28 @@ def mlp_block(params, x, act):
     h = linear(params["c_fc"], x)
     h = act(h)
     return linear(params["c_proj"], h)
+
+
+def patch_dropout(rng, x, rate: float, exclude_first: bool = True):
+    """Randomly keep max(1, int(L*(1-rate))) tokens per sample
+    (reference PatchDropout, model/transformer.py:62-99; CLS excluded).
+
+    NOTE: the reference *configures* rate 0.2 (model/model.py:29) but holds
+    the model in eval() throughout training (survey Q5), so this never runs
+    in the live pipeline. Provided as an opt-in training regularizer; the
+    kept count is static under jit.
+    """
+    if rate <= 0.0:
+        return x
+    if exclude_first:
+        cls, tokens = x[:, :1], x[:, 1:]
+    else:
+        cls, tokens = None, x
+    b, l, _ = tokens.shape
+    keep = max(1, int(l * (1.0 - rate)))
+    scores = jax.random.normal(rng, (b, l))
+    _, idx = jax.lax.top_k(scores, keep)
+    kept = jnp.take_along_axis(tokens, idx[..., None], axis=1)
+    if cls is not None:
+        kept = jnp.concatenate([cls, kept], axis=1)
+    return kept

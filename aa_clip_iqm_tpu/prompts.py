@@ -74,6 +74,16 @@ def compute_all_anchors(encode_fn: Callable, dataset_name: str) -> Dict[str, jnp
     }
 
 
+def per_sentence_embeddings(encode_fn: Callable, dataset_name: str,
+                            class_name: str):
+    """Un-pooled normalized embeddings of every prompt sentence, concatenated
+    normal-then-abnormal — the reference's per-sentence variant
+    (get_adapted_single_sentence_text_embedding, forward_utils.py:165-182)."""
+    groups = class_prompt_tokens(dataset_name, class_name)
+    embs = [l2_normalize(encode_fn(g).astype(jnp.float32)) for g in groups]
+    return jnp.concatenate(embs, axis=0)
+
+
 def stack_batch_anchors(anchor_dict, class_names) -> jnp.ndarray:
     """(B, dim, 2) per-sample anchor stack (train.py:69-72, :145-147)."""
     return jnp.stack([anchor_dict[c] for c in class_names], axis=0)
