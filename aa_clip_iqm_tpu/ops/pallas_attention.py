@@ -75,6 +75,37 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int,
     o_ref[0] = (acc / l_i).astype(o_ref.dtype)
 
 
+def _row_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int):
+    """Whole-row variant: the full (BLK_Q, L) score row lives in VMEM, so the
+    softmax is a single masked pass (no online rescaling). Preferred while
+    K/V + the row fit in VMEM (true up to ~8k tokens at hd=64); the blockwise
+    online-softmax kernel below covers longer sequences."""
+    q = q_ref[0].astype(jnp.float32) * scale                  # (BLK_Q, hd)
+    k = k_ref[0]                                              # (L_pad, hd)
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k.astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                          # (BLK_Q, L_pad)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < seq_len, s, -jnp.inf)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    acc = jax.lax.dot_general(
+        p.astype(v.dtype), v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+# Above this many padded tokens the (BLK_Q, L) row + K/V no longer fit VMEM
+# comfortably; switch to the online-softmax blockwise kernel.
+ROW_KERNEL_MAX_TOKENS = 8192
+
+
 def _flash_forward(q, k, v, scale: float):
     """q, k, v: (BH, L, hd) -> (BH, L, hd)."""
     bh, seq_len, hd = q.shape
@@ -88,8 +119,11 @@ def _flash_forward(q, k, v, scale: float):
         return jnp.pad(x, ((0, 0), (0, l_pad - x.shape[1]), (0, 0)))
 
     qp, kp, vp = pad(q), pad(k), pad(v)
-    kernel = functools.partial(_flash_kernel, scale=scale, seq_len=seq_len,
-                               blk_k=blk_k, n_k=n_k)
+    if l_pad <= ROW_KERNEL_MAX_TOKENS:
+        kernel = functools.partial(_row_kernel, scale=scale, seq_len=seq_len)
+    else:
+        kernel = functools.partial(_flash_kernel, scale=scale, seq_len=seq_len,
+                                   blk_k=blk_k, n_k=n_k)
     out = pl.pallas_call(
         kernel,
         grid=(bh, l_pad // BLK_Q),

@@ -43,9 +43,17 @@ def _measure(predict, frozen, trainable, batch, img, embed_dim, iters=10):
     m, s = predict(frozen, trainable, image_bufs[0], anchors_dev)
     np.asarray(s)  # warmup + compile
 
+    # Keep two batches in flight: serving pipelines dispatch against compute,
+    # so the steady-state number should too.
+    depth = 2
+    pending = []
     t0 = time.perf_counter()
     for i in range(iters):
         m, s = predict(frozen, trainable, image_bufs[i % n_bufs], anchors_dev)
+        pending.append(s)
+        if len(pending) > depth:
+            np.asarray(pending.pop(0))
+    for s in pending:
         np.asarray(s)
     dt = time.perf_counter() - t0
     return batch * iters / dt

@@ -60,6 +60,23 @@ def test_flash_short_seq_falls_back(rng):
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
 
 
+def test_blockwise_kernel_matches_sdpa(rng):
+    """Force the online-softmax blockwise path (used for long sequences)."""
+    b, h, hd = 1, 2, 64
+    q, k, v = _rand_qkv(rng, b, h, 384, hd)
+    scale = hd ** -0.5
+    ref = np.asarray(sdpa(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                          scale))
+    old = pa.ROW_KERNEL_MAX_TOKENS
+    pa.ROW_KERNEL_MAX_TOKENS = 0
+    try:
+        out = np.asarray(pa.flash_mha(jnp.asarray(q), jnp.asarray(k),
+                                      jnp.asarray(v), scale))
+    finally:
+        pa.ROW_KERNEL_MAX_TOKENS = old
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+
 def test_flash_bf16(rng):
     b, h, l, hd = 1, 2, 256, 64
     q, k, v = _rand_qkv(rng, b, h, l, hd, dtype=np.float32)
