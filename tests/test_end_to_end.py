@@ -114,6 +114,33 @@ def test_resume_skips_completed_epochs(synth, model, tmp_path):
     np.testing.assert_array_equal(w1, w2)
 
 
+def test_few_shot_training_mode(synth, model, tmp_path):
+    """few_shot mode consumes a {shot}-shot.jsonl produced by the subset
+    tool (dataset/__init__.py:226-229 layout)."""
+    import subprocess
+    import sys
+
+    root, metadata_root = synth
+    cfg, frozen, trainable = model
+    full = os.path.join(metadata_root, "Synth", "full-shot.jsonl")
+    subset = os.path.join(metadata_root, "Synth", "4-shot.jsonl")
+    tool = os.path.join(os.path.dirname(__file__), "..", "tools",
+                        "gen_metadata.py")
+    subprocess.run([sys.executable, tool, "subset", "--full", full,
+                    "--shot", "4", "--out", subset], check=True)
+
+    train_cfg = TrainConfig(
+        dataset="Synth", img_size=IMG, training_mode="few_shot", shot=4,
+        text_batch_size=4, image_batch_size=4, text_epoch=0, image_epoch=1,
+        save_path=str(tmp_path / "ckpt_fs"), compute_dtype="float32",
+    )
+    logger = logging.getLogger("test_fs")
+    trained, anchors = run_training(frozen, trainable, cfg, train_cfg, logger,
+                                    metadata_root=metadata_root)
+    assert os.path.isdir(os.path.join(str(tmp_path / "ckpt_fs"),
+                                      "image_adapter_1", "params"))
+
+
 def test_zero_shot_predict_without_training(synth, model):
     """The inference path runs with freshly-initialized adapters (zero-shot
     plumbing; quality needs real CLIP weights)."""
