@@ -176,6 +176,84 @@ def load_params_npz(path: str):
     return listify(root)
 
 
+# --------------------------------------------------------------------------
+# Reference adapter-checkpoint importer (migration path for users of the
+# PyTorch reference)
+# --------------------------------------------------------------------------
+
+def import_reference_text_adapter(sd, trainable):
+    """Map a reference text_adapter state dict (train.py:105-113 saves
+    model.text_adapter.state_dict(): nn.ModuleList of SimpleAdapters then a
+    SimpleProj — keys '{i}.fc.0.weight') into our trainable pytree. Returns an
+    updated copy of `trainable`."""
+    import copy
+
+    out = copy.deepcopy(trainable)
+    layers = out["text_adapter"]["layers"]["w"]
+    n_layers = layers.shape[0]
+    stacked = np.stack([
+        _t(_np(sd[f"{i}.fc.0.weight"])) for i in range(n_layers)
+    ])
+    out["text_adapter"]["layers"]["w"] = jnp.asarray(stacked)
+    proj_key = f"{n_layers}.fc.0.weight"
+    out["text_adapter"]["proj"]["w"] = jnp.asarray(_t(_np(sd[proj_key])))
+    return out
+
+
+def import_reference_image_adapter(sd, trainable, relu: bool = False):
+    """Map a reference image_adapter state dict (train.py:225-236 saves the
+    ModuleDict {layer_adapters, seg_proj, det_proj}) into our pytree.
+
+    SimpleProj key layout depends on the --relu flag: with LeakyReLU the
+    Linear nests as 'fc.0.weight', without as 'fc.weight'
+    (model/adapter_modules.py:17-23)."""
+    import copy
+
+    out = copy.deepcopy(trainable)
+    ia = out["image_adapter"]
+    n_ad = ia["layer_adapters"]["w"].shape[0]
+    ia["layer_adapters"]["w"] = jnp.asarray(np.stack([
+        _t(_np(sd[f"layer_adapters.{i}.fc.0.weight"])) for i in range(n_ad)
+    ]))
+    proj_key = "fc.0.weight" if relu else "fc.weight"
+    for i in range(len(ia["seg_proj"])):
+        ia["seg_proj"][i]["w"] = jnp.asarray(
+            _t(_np(sd[f"seg_proj.{i}.{proj_key}"])))
+    ia["det_proj"]["w"] = jnp.asarray(_t(_np(sd[f"det_proj.{proj_key}"])))
+    return out
+
+
+def _np(v):
+    return v.float().numpy() if hasattr(v, "numpy") else np.asarray(v)
+
+
+def import_reference_checkpoints(save_path: str, trainable, relu: bool = False):
+    """Load the reference's text_adapter.pth and latest image_adapter_{N}.pth
+    from a directory (test_last.py:231-248 layout) into our pytree. The IQM
+    family keeps its initialization — the reference never persists it
+    (survey Q1)."""
+    import glob as globlib
+    import re
+
+    import torch
+
+    text_files = globlib.glob(os.path.join(save_path, "text_adapter.pth"))
+    if text_files:
+        ckpt = torch.load(text_files[0], map_location="cpu",
+                          weights_only=False)
+        trainable = import_reference_text_adapter(ckpt["text_adapter"],
+                                                  trainable)
+    image_files = globlib.glob(os.path.join(save_path, "image_adapter_*.pth"))
+    if image_files:
+        image_files.sort(
+            key=lambda p: int(re.findall(r"_(\d+)\.pth$", p)[0]))
+        ckpt = torch.load(image_files[-1], map_location="cpu",
+                          weights_only=False)
+        trainable = import_reference_image_adapter(ckpt["image_adapter"],
+                                                   trainable, relu=relu)
+    return trainable
+
+
 def find_backbone(model_name: str = "ViT-L-14-336",
                   search_dirs=(".", "weights", os.path.expanduser("~"))):
     """Locate a usable backbone checkpoint (.npz cache preferred, else .pt)."""

@@ -55,6 +55,13 @@ def build_parser():
     parser.add_argument("--no_adapters", action="store_true",
                         help="evaluate without any trained checkpoint "
                         "(zero-shot plumbing check)")
+    parser.add_argument("--import_reference", action="store_true",
+                        help="treat --save_path as a PyTorch-reference "
+                        "checkpoint dir (text_adapter.pth / "
+                        "image_adapter_N.pth) and import the adapters")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="write a jax.profiler trace here")
+    parser.add_argument("--debug_nans", action="store_true")
     return parser
 
 
@@ -78,8 +85,23 @@ def main():
                                   allow_random=args.random_backbone)
     trainable = init_trainable(model_cfg, seed=args.seed)
 
+    if args.debug_nans:
+        from aa_clip_iqm_tpu.utils.profiling import enable_nan_checks
+
+        enable_nan_checks(True)
+
     adapt_text = False
-    if not args.no_adapters:
+    if args.import_reference:
+        import os
+
+        from aa_clip_iqm_tpu.models.convert import import_reference_checkpoints
+
+        trainable = import_reference_checkpoints(args.save_path, trainable,
+                                                 relu=args.relu)
+        adapt_text = os.path.isfile(
+            os.path.join(args.save_path, "text_adapter.pth"))
+        logger.info("imported reference adapters from %s", args.save_path)
+    elif not args.no_adapters:
         restored_text = ckpt.load_stage1(args.save_path,
                                          trainable["text_adapter"])
         if restored_text is not None:
@@ -117,11 +139,14 @@ def main():
         iqm_weight=args.iqm_weight, text_weight=args.text_weight,
         compute_dtype=args.compute_dtype,
     )
-    rows = evaluate_dataset(
-        frozen, trainable, model_cfg, eval_cfg, datasets, anchors,
-        logger=logger,
-        visualize_dir=args.save_path if args.visualize else None,
-        mesh=mesh, compute_dtype=dtype, use_pallas=args.use_pallas)
+    from aa_clip_iqm_tpu.utils.profiling import trace
+
+    with trace(args.profile_dir):
+        rows = evaluate_dataset(
+            frozen, trainable, model_cfg, eval_cfg, datasets, anchors,
+            logger=logger,
+            visualize_dir=args.save_path if args.visualize else None,
+            mesh=mesh, compute_dtype=dtype, use_pallas=args.use_pallas)
     table = results_table(rows)
     logger.info("final results:\n%s", table)
     print(table)
