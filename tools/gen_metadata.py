@@ -81,6 +81,36 @@ def scan_mvtec(data_root: str, out: str, split: str = "test",
     _write(rows, out)
 
 
+def scan_visa(data_root: str, out: str):
+    """VisA official layout (VisA_20220922):
+    <class>/Data/Images/{Normal,Anomaly}/x.JPG with masks at
+    <class>/Data/Masks/Anomaly/x.png."""
+    rows = []
+    for class_name in sorted(os.listdir(data_root)):
+        img_root = os.path.join(data_root, class_name, "Data", "Images")
+        if not os.path.isdir(img_root):
+            continue
+        for kind in ("Normal", "Anomaly"):
+            kdir = os.path.join(img_root, kind)
+            if not os.path.isdir(kdir):
+                continue
+            for fn in sorted(os.listdir(kdir)):
+                if not _is_image(fn):
+                    continue
+                rel = f"{class_name}/Data/Images/{kind}/{fn}"
+                row = {"image_path": rel, "label": 0, "class_name": class_name}
+                if kind == "Anomaly":
+                    stem = os.path.splitext(fn)[0]
+                    mask_rel = f"{class_name}/Data/Masks/Anomaly/{stem}.png"
+                    if not os.path.isfile(os.path.join(data_root, mask_rel)):
+                        print(f"warning: no mask for {rel}; skipping")
+                        continue
+                    row["label"] = 1
+                    row["mask_path"] = mask_rel
+                rows.append(row)
+    _write(rows, out)
+
+
 def scan_flat(images: str, out: str, class_name: str, masks: str = None,
               data_root: str = None):
     """Flat layout: every image in `images`; a sample is anomalous iff a
@@ -145,6 +175,10 @@ def main():
     p.add_argument("--mask_dir", default="ground_truth")
     p.add_argument("--mask_suffix", default="_mask")
 
+    p = sub.add_parser("scan-visa")
+    p.add_argument("--data_root", required=True)
+    p.add_argument("--out", required=True)
+
     p = sub.add_parser("scan-flat")
     p.add_argument("--images", required=True)
     p.add_argument("--masks", default=None)
@@ -163,6 +197,8 @@ def main():
     if args.cmd == "scan-mvtec":
         scan_mvtec(args.data_root, args.out, args.split, args.good_name,
                    args.mask_dir, args.mask_suffix)
+    elif args.cmd == "scan-visa":
+        scan_visa(args.data_root, args.out)
     elif args.cmd == "scan-flat":
         scan_flat(args.images, args.out, args.class_name, args.masks,
                   args.data_root)
