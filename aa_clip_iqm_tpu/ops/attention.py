@@ -53,8 +53,30 @@ def sdpa(q, k, v, scale, attn_mask=None):
     return out.astype(v.dtype)
 
 
+def _packed_pallas_ok(x, num_heads: int, attn_mask) -> bool:
+    from . import pallas_attention as pa
+
+    l = x.shape[1]
+    w = x.shape[-1]
+    if attn_mask is not None or l < 2 * pa.BLK_Q or l > pa.ROW_KERNEL_MAX_TOKENS:
+        return False
+    if w % num_heads:
+        return False
+    hd = w // num_heads
+    group = max(1, 128 // hd)
+    # Mosaic block columns must tile in 128-lane panels of whole heads.
+    return (group * hd) % 128 == 0 and num_heads % group == 0
+
+
 def mha(params, x, num_heads: int, attn_mask=None, use_pallas: bool = False):
     """Standard self-attention block core (torch MultiheadAttention parity)."""
+    if use_pallas and _packed_pallas_ok(x, num_heads, attn_mask):
+        from .pallas_attention import flash_mha_packed
+
+        qkv = linear(params["qkv"], x)
+        hd = x.shape[-1] // num_heads
+        out = flash_mha_packed(qkv, num_heads, hd ** -0.5)
+        return linear(params["out"], out)
     q, k, v = qkv_project(params, x)
     hd = x.shape[-1] // num_heads
     scale = hd ** -0.5
@@ -69,6 +91,13 @@ def mha(params, x, num_heads: int, attn_mask=None, use_pallas: bool = False):
 
 def vv_attention(params, x, num_heads: int, use_pallas: bool = False):
     """CLIP-Surgery value-value attention (q = k = v)."""
+    if use_pallas and _packed_pallas_ok(x, num_heads, None):
+        from .pallas_attention import flash_mha_packed
+
+        qkv = linear(params["qkv"], x)
+        hd = x.shape[-1] // num_heads
+        out = flash_mha_packed(qkv, num_heads, hd ** -0.5, vv=True)
+        return linear(params["out"], out)
     _, _, v = qkv_project(params, x)
     hd = x.shape[-1] // num_heads
     scale = hd ** -0.5

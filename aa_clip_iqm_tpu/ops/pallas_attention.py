@@ -75,6 +75,39 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int,
     o_ref[0] = (acc / l_i).astype(o_ref.dtype)
 
 
+def _row_kernel_grouped(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                        seq_len: int, heads_per_block: int):
+    """Whole-row attention over a panel of `heads_per_block` heads.
+
+    Mosaic requires the trailing block dimension to be a multiple of 128;
+    with hd=64 (CLIP ViT-L) we therefore slice 128-column panels (2 heads)
+    out of the packed qkv array and attend each head's half inside the
+    kernel. Refs: (1, BLK_Q, G*hd) / (1, L_pad, G*hd)."""
+    g = heads_per_block
+    hd = q_ref.shape[-1] // g
+    for i in range(g):
+        sl = slice(i * hd, (i + 1) * hd)
+        q = q_ref[0, :, sl].astype(jnp.float32) * scale
+        k = k_ref[0, :, sl]
+        v = v_ref[0, :, sl]
+        s = jax.lax.dot_general(
+            q, k.astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < seq_len, s, -jnp.inf)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        acc = jax.lax.dot_general(
+            p.astype(v.dtype), v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, sl] = (acc / l).astype(o_ref.dtype)
+
+
 def _row_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int):
     """Whole-row variant: the full (BLK_Q, L) score row lives in VMEM, so the
     softmax is a single masked pass (no online rescaling). Preferred while
@@ -178,6 +211,94 @@ def _bwd(scale, res, g):
 
 
 _flash_attention_bh.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def flash_mha_packed(qkv, num_heads: int, scale: float, vv: bool = False):
+    """Fused attention straight off the packed qkv projection.
+
+    qkv: (B, L, 3W) — the output of the fused in-proj matmul, untouched.
+    Returns (B, L, W), already in merged-head layout for the out-projection.
+
+    The head split (B,L,W)->(B,H,L,hd) and merge transposes of the classic
+    path are pure HBM traffic (~6 full activation copies per layer); here the
+    kernel's BlockSpecs column-slice q/k/v head panels out of the packed
+    array directly, so those copies never exist. ``vv`` points all three
+    operands at the value columns (CLIP-Surgery value-value attention).
+    """
+    b, seq_len, threew = qkv.shape
+    w = threew // 3
+    hd = w // num_heads
+    l_pad = _round_up(seq_len, BLK_Q)
+    if l_pad != seq_len:
+        qkv = jnp.pad(qkv, ((0, 0), (0, l_pad - seq_len), (0, 0)))
+
+    # Mosaic wants trailing block dims in multiples of 128: group heads into
+    # 128-column panels (2 heads at hd=64).
+    group = max(1, LANE // hd)
+    panel = group * hd
+    n_panels = num_heads // group
+    q_sec, k_sec, v_sec = (2, 2, 2) if vv else (0, 1, 2)
+    sec_panels = w // panel  # col-block index unit is `panel` columns
+
+    kernel = functools.partial(_row_kernel_grouped, scale=scale,
+                               seq_len=seq_len, heads_per_block=group)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, n_panels, l_pad // BLK_Q),
+        in_specs=[
+            pl.BlockSpec((1, BLK_Q, panel),
+                         lambda bi, hi, j, s=q_sec: (bi, j, s * sec_panels + hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l_pad, panel),
+                         lambda bi, hi, j, s=k_sec: (bi, 0, s * sec_panels + hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l_pad, panel),
+                         lambda bi, hi, j, s=v_sec: (bi, 0, s * sec_panels + hi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, BLK_Q, panel),
+                               lambda bi, hi, j: (bi, j, hi),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, l_pad, w), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * num_heads * l_pad * l_pad * hd,
+            bytes_accessed=qkv.size * qkv.dtype.itemsize,
+            transcendentals=b * num_heads * l_pad * l_pad,
+        ),
+        interpret=INTERPRET,
+    )(qkv, qkv, qkv)
+    return out[:, :seq_len, :]
+
+
+def _packed_reference(qkv, num_heads, scale, vv):
+    b, l, threew = qkv.shape
+    w = threew // 3
+    hd = w // num_heads
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    if vv:
+        q = k = v
+
+    def split(t):
+        return t.reshape(b, l, num_heads, hd).transpose(0, 2, 1, 3)
+
+    out = _reference_sdpa(
+        split(q).reshape(b * num_heads, l, hd),
+        split(k).reshape(b * num_heads, l, hd),
+        split(v).reshape(b * num_heads, l, hd), scale)
+    return out.reshape(b, num_heads, l, hd).transpose(0, 2, 1, 3).reshape(b, l, w)
+
+
+def _packed_fwd(qkv, num_heads, scale, vv):
+    return flash_mha_packed(qkv, num_heads, scale, vv), qkv
+
+
+def _packed_bwd(num_heads, scale, vv, qkv, g):
+    _, vjp = jax.vjp(lambda t: _packed_reference(t, num_heads, scale, vv), qkv)
+    return vjp(g)
+
+
+flash_mha_packed.defvjp(_packed_fwd, _packed_bwd)
 
 
 def flash_mha(q, k, v, scale: float, attn_mask=None):

@@ -87,6 +87,64 @@ def test_flash_bf16(rng):
     np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
 
 
+def test_packed_matches_mha_path(rng):
+    """flash_mha_packed on a packed qkv == unpack + sdpa."""
+    b, l, heads, hd = 2, 256, 4, 64
+    w = heads * hd
+    qkv = rng.standard_normal((b, l, 3 * w)).astype(np.float32)
+    scale = hd ** -0.5
+    ref = np.asarray(pa._packed_reference(jnp.asarray(qkv), heads, scale,
+                                          False))
+    out = np.asarray(pa.flash_mha_packed(jnp.asarray(qkv), heads, scale))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_packed_vv_matches_reference(rng):
+    b, l, heads, hd = 1, 256, 4, 64
+    w = heads * hd
+    qkv = rng.standard_normal((b, l, 3 * w)).astype(np.float32)
+    scale = hd ** -0.5
+    ref = np.asarray(pa._packed_reference(jnp.asarray(qkv), heads, scale, True))
+    out = np.asarray(pa.flash_mha_packed(jnp.asarray(qkv), heads, scale,
+                                         vv=True))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_packed_gradient(rng):
+    b, l, heads, hd = 1, 256, 2, 64
+    w = heads * hd
+    qkv = jnp.asarray(rng.standard_normal((b, l, 3 * w)).astype(np.float32))
+    scale = hd ** -0.5
+
+    g1 = jax.grad(lambda t: jnp.sum(
+        pa.flash_mha_packed(t, heads, scale) ** 2))(qkv)
+    g2 = jax.grad(lambda t: jnp.sum(
+        pa._packed_reference(t, heads, scale, False) ** 2))(qkv)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-3,
+                               atol=1e-4)
+
+
+def test_mha_wrapper_packed_path_matches_xla(rng):
+    """ops.attention.mha with use_pallas routes through the packed kernel and
+    matches the XLA path."""
+    from aa_clip_iqm_tpu.ops import attention as attn_ops
+
+    d, h, b, l = 128, 2, 2, 384
+    w_in = rng.standard_normal((d, 3 * d)).astype(np.float32) * 0.05
+    params = {
+        "qkv": {"w": w_in, "b": rng.standard_normal(3 * d).astype(np.float32) * 0.01},
+        "out": {"w": rng.standard_normal((d, d)).astype(np.float32) * 0.05,
+                "b": np.zeros(d, np.float32)},
+    }
+    x = jnp.asarray(rng.standard_normal((b, l, d)).astype(np.float32))
+    ref = np.asarray(attn_ops.mha(params, x, h))
+    out = np.asarray(attn_ops.mha(params, x, h, use_pallas=True))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+    ref_vv = np.asarray(attn_ops.vv_attention(params, x, h))
+    out_vv = np.asarray(attn_ops.vv_attention(params, x, h, use_pallas=True))
+    np.testing.assert_allclose(out_vv, ref_vv, rtol=2e-4, atol=2e-5)
+
+
 def test_flash_gradient_matches_sdpa(rng):
     b, h, l, hd = 1, 1, 256, 64
     q, k, v = _rand_qkv(rng, b, h, l, hd)
