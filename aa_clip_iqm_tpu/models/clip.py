@@ -140,6 +140,10 @@ def init_clip_params(rng, cfg: CLIPConfig):
 # Forward passes
 # --------------------------------------------------------------------------
 
+# See the comment in vision_forward; benchmarked slower on v5e, kept as an
+# opt-in for future hardware where copies dominate.
+PREPAD_TOKENS = False
+
 def patchify(params, images, patch_size: int):
     """(B, 3, H, W) -> (B, L, width) via reshape + matmul (== strided conv)."""
     b, c, h, w = images.shape
@@ -150,7 +154,7 @@ def patchify(params, images, patch_size: int):
 
 
 def _run_block(block, x, num_heads, act, attn_mask=None, vv=False,
-               use_pallas=False):
+               use_pallas=False, valid_len=None):
     """Pre-norm residual attention block (model/transformer.py:239-258).
 
     When ``vv`` is set the attention is the CLIP-Surgery value-value variant
@@ -159,10 +163,11 @@ def _run_block(block, x, num_heads, act, attn_mask=None, vv=False,
     """
     h = layer_norm(block["ln_1"], x)
     if vv:
-        a = attn_ops.vv_attention(block["attn"], h, num_heads, use_pallas=use_pallas)
+        a = attn_ops.vv_attention(block["attn"], h, num_heads,
+                                  use_pallas=use_pallas, valid_len=valid_len)
     else:
         a = attn_ops.mha(block["attn"], h, num_heads, attn_mask=attn_mask,
-                         use_pallas=use_pallas)
+                         use_pallas=use_pallas, valid_len=valid_len)
     x = x + a
     x = x + mlp_block(block["mlp"], layer_norm(block["ln_2"], x), act)
     return x
@@ -171,7 +176,7 @@ def _run_block(block, x, num_heads, act, attn_mask=None, vv=False,
 def run_block_range(stacked, x, start: int, stop: int, num_heads: int, act,
                     attn_mask=None, vv: bool = False, adapters=None,
                     adapter_weight: float = 0.0, use_pallas: bool = False,
-                    remat: bool = False):
+                    remat: bool = False, valid_len=None):
     """lax.scan blocks [start, stop) of a stacked-parameter tower.
 
     Compile-time design: all homogeneous layer ranges run as one scanned block
@@ -194,7 +199,7 @@ def run_block_range(stacked, x, start: int, stop: int, num_heads: int, act,
         else:
             block, adapter = layer_params
         y = _run_block(block, carry, num_heads, act, attn_mask=attn_mask,
-                       vv=vv, use_pallas=use_pallas)
+                       vv=vv, use_pallas=use_pallas, valid_len=valid_len)
         if adapters is not None:
             y = norm_preserving_blend(y, simple_adapter(adapter, y),
                                       adapter_weight)
@@ -248,6 +253,20 @@ def vision_forward(
     x = x + params["positional_embedding"].astype(compute_dtype)
     x = layer_norm(params["ln_pre"], x)
 
+    # Tower-wide token padding (opt-in, PREPAD_TOKENS): pad once to the
+    # 128-lane tile instead of letting the attention kernel pad/slice per
+    # layer; the kernel masks keys >= valid_len. Measured on v5e @518px this
+    # trades ~2.8% extra matmul FLOPs (1408 vs 1370 rows everywhere) against
+    # the per-layer pad/slice copies and comes out ~3% *slower* — XLA fuses
+    # those copies well — so it stays off by default. Only safe when every
+    # block takes the packed-kernel path (the XLA fallback has no key mask).
+    valid_len = None
+    n_tokens = x.shape[1]
+    if (PREPAD_TOKENS and use_pallas and n_tokens % 128
+            and attn_ops._packed_pallas_ok(x, cfg.heads, None)):
+        valid_len = n_tokens
+        x = jnp.pad(x, ((0, 0), (0, 128 - n_tokens % 128), (0, 0)))
+
     act = ACTIVATIONS[act_name]
     events = [adapt_until, *out_layers]
     if vv_from is not None:
@@ -261,11 +280,13 @@ def vision_forward(
             params["blocks"], x, start, stop, cfg.heads, act,
             vv=vv_from is not None and start >= vv_from,
             adapters=seg_adapters, adapter_weight=adapter_weight,
-            use_pallas=use_pallas, remat=remat,
+            use_pallas=use_pallas, remat=remat, valid_len=valid_len,
         )
         if stop in out_layers:
-            taps.append(x)
+            taps.append(x if valid_len is None else x[:, :valid_len])
 
+    if valid_len is not None:
+        x = x[:, :valid_len]
     pooled = layer_norm(params["ln_post"], x[:, 0])
     pooled = jnp.dot(pooled, params["proj"].astype(pooled.dtype),
                      preferred_element_type=jnp.float32).astype(x.dtype)

@@ -68,14 +68,21 @@ def _packed_pallas_ok(x, num_heads: int, attn_mask) -> bool:
     return (group * hd) % 128 == 0 and num_heads % group == 0
 
 
-def mha(params, x, num_heads: int, attn_mask=None, use_pallas: bool = False):
-    """Standard self-attention block core (torch MultiheadAttention parity)."""
+def mha(params, x, num_heads: int, attn_mask=None, use_pallas: bool = False,
+        valid_len=None):
+    """Standard self-attention block core (torch MultiheadAttention parity).
+
+    valid_len: when the caller runs the tower on pre-padded tokens (padding
+    once for all layers instead of per-layer), the number of real tokens —
+    the kernel masks the padded keys.
+    """
     if use_pallas and _packed_pallas_ok(x, num_heads, attn_mask):
         from .pallas_attention import flash_mha_packed
 
         qkv = linear(params["qkv"], x)
         hd = x.shape[-1] // num_heads
-        out = flash_mha_packed(qkv, num_heads, hd ** -0.5)
+        out = flash_mha_packed(qkv, num_heads, hd ** -0.5,
+                               valid_len=valid_len)
         return linear(params["out"], out)
     q, k, v = qkv_project(params, x)
     hd = x.shape[-1] // num_heads
@@ -89,14 +96,16 @@ def mha(params, x, num_heads: int, attn_mask=None, use_pallas: bool = False):
     return linear(params["out"], _merge_heads(out))
 
 
-def vv_attention(params, x, num_heads: int, use_pallas: bool = False):
+def vv_attention(params, x, num_heads: int, use_pallas: bool = False,
+                 valid_len=None):
     """CLIP-Surgery value-value attention (q = k = v)."""
     if use_pallas and _packed_pallas_ok(x, num_heads, None):
         from .pallas_attention import flash_mha_packed
 
         qkv = linear(params["qkv"], x)
         hd = x.shape[-1] // num_heads
-        out = flash_mha_packed(qkv, num_heads, hd ** -0.5, vv=True)
+        out = flash_mha_packed(qkv, num_heads, hd ** -0.5, vv=True,
+                               valid_len=valid_len)
         return linear(params["out"], out)
     _, _, v = qkv_project(params, x)
     hd = x.shape[-1] // num_heads

@@ -181,9 +181,11 @@ def _flash_forward(q, k, v, scale: float):
     return out[:, :seq_len, :]
 
 
-def _reference_sdpa(q, k, v, scale):
+def _reference_sdpa(q, k, v, scale, mask=None):
     logits = jnp.einsum("bqd,bkd->bqk", q, k,
                         preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        logits = logits + mask
     probs = jax.nn.softmax(logits, axis=-1)
     return jnp.einsum("bqk,bkd->bqd", probs.astype(v.dtype), v,
                       preferred_element_type=jnp.float32).astype(v.dtype)
@@ -213,8 +215,9 @@ def _bwd(scale, res, g):
 _flash_attention_bh.defvjp(_fwd, _bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
-def flash_mha_packed(qkv, num_heads: int, scale: float, vv: bool = False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def flash_mha_packed(qkv, num_heads: int, scale: float, vv: bool = False,
+                     valid_len=None):
     """Fused attention straight off the packed qkv projection.
 
     qkv: (B, L, 3W) — the output of the fused in-proj matmul, untouched.
@@ -226,12 +229,15 @@ def flash_mha_packed(qkv, num_heads: int, scale: float, vv: bool = False):
     array directly, so those copies never exist. ``vv`` points all three
     operands at the value columns (CLIP-Surgery value-value attention).
     """
-    b, seq_len, threew = qkv.shape
+    b, in_len, threew = qkv.shape
     w = threew // 3
     hd = w // num_heads
-    l_pad = _round_up(seq_len, BLK_Q)
-    if l_pad != seq_len:
-        qkv = jnp.pad(qkv, ((0, 0), (0, l_pad - seq_len), (0, 0)))
+    l_pad = _round_up(in_len, BLK_Q)
+    if l_pad != in_len:
+        qkv = jnp.pad(qkv, ((0, 0), (0, l_pad - in_len), (0, 0)))
+    # Number of real tokens: tokens beyond it (kernel padding, or the
+    # caller's own tower-wide pre-padding) are masked out of the softmax.
+    seq_len = valid_len if valid_len is not None else in_len
 
     # Mosaic wants trailing block dims in multiples of 128: group heads into
     # 128-column panels (2 heads at hd=64).
@@ -268,10 +274,12 @@ def flash_mha_packed(qkv, num_heads: int, scale: float, vv: bool = False):
         ),
         interpret=INTERPRET,
     )(qkv, qkv, qkv)
-    return out[:, :seq_len, :]
+    # Give back exactly the caller's token length (pre-padded callers get
+    # their padded length back, so the tower never re-slices per layer).
+    return out[:, :in_len, :]
 
 
-def _packed_reference(qkv, num_heads, scale, vv):
+def _packed_reference(qkv, num_heads, scale, vv, valid_len=None):
     b, l, threew = qkv.shape
     w = threew // 3
     hd = w // num_heads
@@ -282,19 +290,23 @@ def _packed_reference(qkv, num_heads, scale, vv):
     def split(t):
         return t.reshape(b, l, num_heads, hd).transpose(0, 2, 1, 3)
 
+    mask = None
+    if valid_len is not None and valid_len < l:
+        mask = jnp.where(jnp.arange(l) < valid_len, 0.0, -jnp.inf)[None, :]
     out = _reference_sdpa(
         split(q).reshape(b * num_heads, l, hd),
         split(k).reshape(b * num_heads, l, hd),
-        split(v).reshape(b * num_heads, l, hd), scale)
+        split(v).reshape(b * num_heads, l, hd), scale, mask)
     return out.reshape(b, num_heads, l, hd).transpose(0, 2, 1, 3).reshape(b, l, w)
 
 
-def _packed_fwd(qkv, num_heads, scale, vv):
-    return flash_mha_packed(qkv, num_heads, scale, vv), qkv
+def _packed_fwd(qkv, num_heads, scale, vv, valid_len):
+    return flash_mha_packed(qkv, num_heads, scale, vv, valid_len), qkv
 
 
-def _packed_bwd(num_heads, scale, vv, qkv, g):
-    _, vjp = jax.vjp(lambda t: _packed_reference(t, num_heads, scale, vv), qkv)
+def _packed_bwd(num_heads, scale, vv, valid_len, qkv, g):
+    _, vjp = jax.vjp(
+        lambda t: _packed_reference(t, num_heads, scale, vv, valid_len), qkv)
     return vjp(g)
 
 

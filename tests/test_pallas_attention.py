@@ -145,6 +145,32 @@ def test_mha_wrapper_packed_path_matches_xla(rng):
     np.testing.assert_allclose(out_vv, ref_vv, rtol=2e-4, atol=2e-5)
 
 
+def test_vision_forward_prepadded_pallas_matches_xla(rng):
+    """Full tower with tower-wide pre-padding + packed kernel == XLA path."""
+    from aa_clip_iqm_tpu.configs import VisionConfig
+    from aa_clip_iqm_tpu.models import clip as jclip
+
+    cfg = VisionConfig(image_size=224, patch_size=14, width=256, layers=2,
+                       head_width=64, output_dim=64)
+    params = jclip.init_vision_params(jax.random.PRNGKey(0), cfg)
+    images = jnp.asarray(
+        rng.standard_normal((1, 3, 224, 224)).astype(np.float32))
+    # 257 tokens -> pre-padded to 384 inside the tower
+    p_ref, taps_ref, x_ref = jclip.vision_forward(params, cfg, images,
+                                                  out_layers=(1, 2))
+    p_out, taps_out, x_out = jclip.vision_forward(params, cfg, images,
+                                                  out_layers=(1, 2),
+                                                  use_pallas=True)
+    np.testing.assert_allclose(np.asarray(p_out), np.asarray(p_ref),
+                               rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(x_out), np.asarray(x_ref),
+                               rtol=2e-3, atol=2e-4)
+    for a, b in zip(taps_out, taps_ref):
+        assert a.shape == b.shape == (1, 257, 256)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)
+
+
 def test_flash_gradient_matches_sdpa(rng):
     b, h, l, hd = 1, 1, 256, 64
     q, k, v = _rand_qkv(rng, b, h, l, hd)
