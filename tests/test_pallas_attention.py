@@ -158,9 +158,14 @@ def test_vision_forward_prepadded_pallas_matches_xla(rng):
     # 257 tokens -> pre-padded to 384 inside the tower
     p_ref, taps_ref, x_ref = jclip.vision_forward(params, cfg, images,
                                                   out_layers=(1, 2))
-    p_out, taps_out, x_out = jclip.vision_forward(params, cfg, images,
-                                                  out_layers=(1, 2),
-                                                  use_pallas=True)
+    old_prepad = jclip.PREPAD_TOKENS
+    jclip.PREPAD_TOKENS = True
+    try:
+        p_out, taps_out, x_out = jclip.vision_forward(params, cfg, images,
+                                                      out_layers=(1, 2),
+                                                      use_pallas=True)
+    finally:
+        jclip.PREPAD_TOKENS = old_prepad
     np.testing.assert_allclose(np.asarray(p_out), np.asarray(p_ref),
                                rtol=2e-3, atol=2e-4)
     np.testing.assert_allclose(np.asarray(x_out), np.asarray(x_ref),
