@@ -147,6 +147,10 @@ class TrainConfig:
     # loss so only the deepest tapped level backprops (train.py:87-96). True
     # reproduces that; False sums all levels.
     stage1_last_level_only: bool = True
+    # Fidelity switch for the reference's LR-schedule quirk (train.py:222,353):
+    # CosineAnnealingLR(T_max=image_epoch) stepped per *batch*. False (default)
+    # runs one cosine over the true total step count.
+    torch_lr_quirk: bool = False
     data_parallel: bool = True
     compute_dtype: str = "bfloat16"
 

@@ -138,7 +138,9 @@ def run_stage2(frozen, trainable, model_cfg: ModelConfig,
         trainable, train_cfg.image_lr, total_steps,
         iqm_lr_scale=train_cfg.iqm_lr_scale,
         image_wd=train_cfg.image_weight_decay,
-        iqm_wd=train_cfg.iqm_weight_decay)
+        iqm_wd=train_cfg.iqm_weight_decay,
+        torch_quirk_period_steps=(train_cfg.image_epoch
+                                  if train_cfg.torch_lr_quirk else None))
     opt_state = tx.init(trainable)
     start_epoch = 0
 

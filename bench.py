@@ -78,7 +78,7 @@ def main():
     if os.environ.get("AACLIP_BENCH_SWEEP"):
         configs = [(16, False), (16, True), (32, False), (32, True)]
     else:
-        configs = [(int(os.environ.get("AACLIP_BENCH_BATCH", 32)),
+        configs = [(int(os.environ.get("AACLIP_BENCH_BATCH", 16)),
                     os.environ.get("AACLIP_BENCH_PALLAS", "1") == "1")]
 
     best = 0.0
