@@ -153,6 +153,9 @@ class TrainConfig:
     torch_lr_quirk: bool = False
     data_parallel: bool = True
     compute_dtype: str = "bfloat16"
+    # Rematerialize transformer blocks in the stage-2 backward pass (memory
+    # for FLOPs trade; useful for large image batches).
+    remat: bool = False
 
 
 @dataclass

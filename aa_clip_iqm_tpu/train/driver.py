@@ -23,7 +23,7 @@ from ..configs import ModelConfig, TrainConfig
 from ..data import registry
 from ..data.datasets import get_dataset
 from ..models import adapters as adapters_mod
-from ..prompts import batched_prompt_tokens, compute_all_anchors
+from ..prompts import batched_prompt_tokens
 from . import checkpoint as ckpt
 from . import optim, steps
 
@@ -115,17 +115,23 @@ def compute_frozen_anchors(frozen, trainable, model_cfg: ModelConfig,
                            dataset_name: str, adapted: bool,
                            compute_dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
     """Per-class anchors with the adapted (or raw when text_epoch==0 —
-    train.py:417-423) text encoder."""
+    train.py:417-423) text encoder.
+
+    All classes' prompt sentences go through one batched encoder call (the
+    reference loops classes x states through separate forwards,
+    forward_utils.py:185-192 — identical math, one compile, one dispatch).
+    """
+    from ..prompts import anchors_from_flat_embeddings, batched_prompt_tokens
+
+    classes, tokens, n_norm, n_abn = batched_prompt_tokens(dataset_name)
     if adapted:
-        def encode(tokens):
-            return adapters_mod.encode_text_adapted(
-                frozen, trainable, model_cfg, tokens,
-                compute_dtype=compute_dtype)
+        emb = adapters_mod.encode_text_adapted(
+            frozen, trainable, model_cfg, tokens, compute_dtype=compute_dtype)
     else:
-        def encode(tokens):
-            return adapters_mod.encode_text_frozen(
-                frozen, model_cfg, tokens, compute_dtype=compute_dtype)
-    return compute_all_anchors(encode, dataset_name)
+        emb = adapters_mod.encode_text_frozen(
+            frozen, model_cfg, tokens, compute_dtype=compute_dtype)
+    anchors = anchors_from_flat_embeddings(emb, len(classes), n_norm, n_abn)
+    return {c: anchors[i] for i, c in enumerate(classes)}
 
 
 def run_stage2(frozen, trainable, model_cfg: ModelConfig,

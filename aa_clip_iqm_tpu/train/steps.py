@@ -149,10 +149,12 @@ def make_stage2_step(cfg: ModelConfig, train_cfg: TrainConfig,
     iqm_w = train_cfg.iqm_loss_weight
     det_w = train_cfg.det_loss_weight
 
+    remat = getattr(train_cfg, "remat", False)
+
     def loss_fn(trainable, frozen, images, masks, labels, anchors):
         out = adapters_mod.encode_image_adapted(
             frozen, trainable, cfg, images, text_anchors=anchors,
-            compute_dtype=compute_dtype, use_pallas=use_pallas,
+            compute_dtype=compute_dtype, use_pallas=use_pallas, remat=remat,
         )
         cls_logits = jnp.einsum("bd,bdc->bc",
                                 out.det_token.astype(jnp.float32),

@@ -59,6 +59,56 @@ def _measure(predict, frozen, trainable, batch, img, embed_dim, iters=10):
     return batch * iters / dt
 
 
+def bench_train():
+    """Stage-2 training-step throughput (AACLIP_BENCH_MODE=train)."""
+    from aa_clip_iqm_tpu.configs import TrainConfig
+    from aa_clip_iqm_tpu.loader import (
+        build_model_config,
+        init_trainable,
+        load_frozen_backbone,
+    )
+    from aa_clip_iqm_tpu.train import optim, steps
+
+    import os
+
+    batch = int(os.environ.get("AACLIP_BENCH_BATCH", 4))
+    img = 518
+    cfg = build_model_config(img_size=img)
+    frozen = load_frozen_backbone(cfg, allow_random=True)
+    trainable = init_trainable(cfg)
+    train_cfg = TrainConfig(img_size=img, compute_dtype="bfloat16")
+    tx = optim.stage2_optimizer(trainable, train_cfg.image_lr, 100)
+    opt_state = tx.init(trainable)
+    step = steps.make_stage2_step(cfg, train_cfg, tx,
+                                  compute_dtype=jnp.bfloat16,
+                                  use_pallas=True)
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.standard_normal((batch, 3, img, img)).astype(np.float32))
+    masks = jnp.asarray((rng.random((batch, 1, img, img)) > 0.9).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 2, batch).astype(np.int64))
+    anchors = jnp.asarray(rng.standard_normal(
+        (batch, cfg.clip.embed_dim, 2)).astype(np.float32))
+
+    trainable, opt_state, loss = step(trainable, opt_state, frozen, images,
+                                      masks, labels, anchors)
+    np.asarray(loss)
+    iters = 6
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        trainable, opt_state, loss = step(trainable, opt_state, frozen,
+                                          images, masks, labels, anchors)
+        np.asarray(loss)
+    dt = time.perf_counter() - t0
+    ips = batch * iters / dt
+    print(json.dumps({
+        "metric": "stage2_training_518px_images_per_sec_per_chip",
+        "value": round(ips, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(ips / 5.0, 2),  # reference stage-2 est. ~5 img/s
+    }))
+
+
 def main():
     from aa_clip_iqm_tpu.evaluation.predict import make_predict_fn
     from aa_clip_iqm_tpu.loader import (
@@ -101,4 +151,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import os
+
+    if os.environ.get("AACLIP_BENCH_MODE") == "train":
+        bench_train()
+    else:
+        main()
