@@ -70,11 +70,14 @@ def make_predict_fn(cfg: ModelConfig, img_size: int, domain: str,
 
 
 def predict_class(predict_fn, frozen, trainable, dataset, class_anchor,
-                  batch_size: int):
+                  batch_size: int, device_resident: bool = False):
     """Run a per-class test dataset through the jitted predict fn.
 
     Pads tail batches to the fixed batch size (static shapes — one
-    compilation) and strips padding on the host. Returns dict of numpy arrays.
+    compilation) and strips padding. With ``device_resident`` the anomaly
+    maps and masks stay on device (for on-device metrics; only the tiny
+    image logits are fetched) — on remote-attached accelerators the map
+    fetch otherwise dominates eval wall-clock.
     """
     masks, labels, maps, image_scores, file_names = [], [], [], [], []
     anchor_b = jnp.broadcast_to(class_anchor[None], (batch_size,) + class_anchor.shape)
@@ -82,17 +85,68 @@ def predict_class(predict_fn, frozen, trainable, dataset, class_anchor,
         n = batch["n_valid"]
         final_map, img_logit = predict_fn(
             frozen, trainable, jnp.asarray(batch["image"]), anchor_b)
-        maps.append(np.asarray(final_map)[:n])
+        if device_resident:
+            maps.append(final_map[:n])
+            masks.append(jnp.asarray(batch["mask"][:n, 0] != 0))
+        else:
+            maps.append(np.asarray(final_map)[:n])
+            masks.append(batch["mask"][:n])
         image_scores.append(np.asarray(img_logit)[:n])
-        masks.append(batch["mask"][:n])
         labels.append(batch["label"][:n])
         file_names.extend(batch["file_name"][:n])
+    cat = jnp.concatenate if device_resident else np.concatenate
     return {
-        "masks": np.concatenate(masks, axis=0),
+        "masks": cat(masks, axis=0),
         "labels": np.concatenate(labels, axis=0),
-        "maps": np.concatenate(maps, axis=0),
+        "maps": cat(maps, axis=0),
         "image_scores": np.concatenate(image_scores, axis=0),
         "file_names": file_names,
+    }
+
+
+def _bucket(n: int, multiple: int = 16) -> int:
+    return ((n + multiple - 1) // multiple) * multiple
+
+
+def class_metrics_device(preds, class_name: str, domain: str):
+    """Per-class metric dict with pixel metrics computed on device.
+
+    preds: predict_class(..., device_resident=True) output. Pixel AUROC/AP
+    and the per-image normalized maxima run on the accelerator over
+    bucket-padded shapes (one compile per bucket, not per class size);
+    the B-sized image-level metrics run on host.
+    """
+    from ..ops.metrics import auroc_ap, minmax_normalize, pixel_metrics_device
+
+    maps, masks = preds["maps"], preds["masks"]
+    b, h, w = maps.shape
+    bb = _bucket(b)
+    if bb != b:
+        maps = jnp.pad(maps, ((0, bb - b), (0, 0), (0, 0)))
+        masks = jnp.pad(masks, ((0, bb - b), (0, 0), (0, 0)))
+    valid = jnp.arange(bb) < b
+    pix_auc, pix_ap, pmax = pixel_metrics_device(maps, masks, valid,
+                                                 b * h * w)
+    pmax = np.asarray(pmax)[:b]
+
+    image_label = np.asarray(preds["labels"]).reshape(-1)
+    image_preds = minmax_normalize(preds["image_scores"]).reshape(-1)
+    if domain != "Medical":
+        image_scores = pmax * 0.5 + image_preds * 0.5
+    else:
+        image_scores = pmax
+    if image_label.max() != image_label.min():
+        img_auc, img_ap = (float(v) for v in auroc_ap(
+            jnp.asarray(image_scores),
+            jnp.asarray(image_label.astype(np.float32))))
+    else:
+        img_auc, img_ap = 0.0, 0.0
+    return {
+        "class name": class_name,
+        "pixel AUC": round(float(pix_auc), 4) * 100,
+        "pixel AP": round(float(pix_ap), 4) * 100,
+        "image AUC": round(img_auc, 4) * 100,
+        "image AP": round(img_ap, 4) * 100,
     }
 
 
@@ -110,19 +164,25 @@ def evaluate_dataset(frozen, trainable, model_cfg: ModelConfig,
         text_weight=eval_cfg.text_weight, iqm_weight=eval_cfg.iqm_weight,
         mesh=mesh,
     )
+    # Device-resident metrics skip the per-batch map fetch; visualization
+    # needs the maps on host, so it uses the host path.
+    device_resident = not visualize_dir
     rows = []
     for class_name, dataset in datasets.items():
         preds = predict_class(predict_fn, frozen, trainable, dataset,
-                              anchors[class_name], eval_cfg.batch_size)
-        if visualize_dir:
+                              anchors[class_name], eval_cfg.batch_size,
+                              device_resident=device_resident)
+        if device_resident:
+            row = class_metrics_device(preds, class_name, domain)
+        else:
             from .visualize import dump_heatmaps
 
             dump_heatmaps(
                 preds["masks"], preds["maps"], preds["file_names"],
                 visualize_dir, eval_cfg.dataset, class_name)
-        row = metrics_eval(
-            preds["masks"], preds["labels"], preds["maps"],
-            preds["image_scores"], class_name, domain)
+            row = metrics_eval(
+                preds["masks"], preds["labels"], preds["maps"],
+                preds["image_scores"], class_name, domain)
         rows.append(row)
         if logger:
             logger.info("%s: %s", class_name, row)

@@ -58,6 +58,67 @@ def auroc_ap(scores, labels):
     return auroc(scores, labels), average_precision(scores, labels)
 
 
+def _masked_auroc_ap(scores, labels, n_valid):
+    """AUROC/AP over the first-class citizens of a padded score array.
+
+    Padded entries carry score=-inf and label=0: they sort to the front,
+    so for any valid score v the counts `#(< v)` include all pads and
+    `#(>= v)` include none — subtracting the pad count from the midranks
+    and using n_valid for the negative count restores the exact unpadded
+    statistics. Lets per-class eval jit once per *bucketed* shape instead
+    of once per class size.
+    """
+    scores = scores.reshape(-1).astype(jnp.float32)
+    labels = labels.reshape(-1).astype(jnp.float32)
+    n_total = scores.shape[0]
+    n_pad = n_total - n_valid
+    sorted_scores = jnp.sort(scores)
+    left = jnp.searchsorted(sorted_scores, scores, side="left").astype(jnp.float32)
+    right = jnp.searchsorted(sorted_scores, scores, side="right").astype(jnp.float32)
+    midrank = (left + right + 1.0) * 0.5 - n_pad
+    p = jnp.sum(labels)
+    neg = n_valid - p
+    auc = (jnp.sum(midrank * labels) - p * (p + 1.0) * 0.5) / (p * neg)
+
+    pos_scores = jnp.where(labels > 0, scores, -jnp.inf)
+    sorted_pos = jnp.sort(pos_scores)
+    n_ge = n_total - jnp.searchsorted(sorted_scores, scores,
+                                      side="left").astype(jnp.float32)
+    tp = n_total - jnp.searchsorted(sorted_pos, scores,
+                                    side="left").astype(jnp.float32)
+    precision = jnp.where(n_ge > 0, tp / jnp.maximum(n_ge, 1.0), 0.0)
+    ap = jnp.sum(precision * labels) / p
+    return auc, ap
+
+
+@jax.jit
+def pixel_metrics_device(maps, masks, valid, n_valid):
+    """Device-resident per-class pixel metrics + normalized image maxima.
+
+    maps: (B, H, W) fused anomaly maps (padded rows allowed);
+    masks: (B, H, W) bool ground truth; valid: (B,) bool row validity;
+    n_valid: scalar count of valid pixels (B_valid * H * W).
+
+    Returns (pixel_auroc, pixel_ap, pmax (B,)) — pmax computed on the
+    min-max-normalized maps, matching the reference's image-score
+    aggregation input (forward_utils.py:246-282). Only scalars and a (B,)
+    vector ever reach the host.
+    """
+    maps = maps.astype(jnp.float32)
+    v3 = valid[:, None, None]
+    mx = jnp.max(jnp.where(v3, maps, -jnp.inf))
+    mn = jnp.min(jnp.where(v3, maps, jnp.inf))
+    rng = mx - mn
+    norm = (maps - mn) / jnp.where(rng == 0, 1.0, rng)
+    pix = jnp.where(mx != 1.0, norm, maps)  # reference's conditional minmax
+
+    pmax = jnp.max(pix, axis=(1, 2))
+    scores = jnp.where(v3, pix, -jnp.inf).reshape(-1)
+    labels = (masks & v3).reshape(-1)
+    auc, ap = _masked_auroc_ap(scores, labels, n_valid)
+    return auc, ap, pmax
+
+
 def image_score_aggregate(pixel_preds, image_logits, domain: str):
     """Reference image-score fusion (forward_utils.py:277-282):
     Medical -> max of pixel map; else 0.5*max(pixel map) + 0.5*image logit."""
