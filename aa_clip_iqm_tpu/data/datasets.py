@@ -242,6 +242,37 @@ class SingleClassTestDataset:
             yield batch
 
 
+def prefetch(iterator, depth: int = 2):
+    """Background-thread prefetcher: overlaps host-side decode/augment with
+    device compute (the reference relies on torch DataLoader workers,
+    train.py:380; here one thread suffices since jax dispatch is async)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+    err = []
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        except BaseException as e:  # propagate into the consumer
+            err.append(e)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if err:
+                raise err[0]
+            return
+        yield item
+
+
 def collate(items: List[dict]) -> dict:
     out = {
         "image": np.stack([it["image"] for it in items]).astype(np.float32),

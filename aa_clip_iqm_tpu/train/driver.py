@@ -21,7 +21,7 @@ import numpy as np
 
 from ..configs import ModelConfig, TrainConfig
 from ..data import registry
-from ..data.datasets import get_dataset
+from ..data.datasets import get_dataset, prefetch
 from ..models import adapters as adapters_mod
 from ..prompts import batched_prompt_tokens
 from . import checkpoint as ckpt
@@ -91,8 +91,8 @@ def run_stage1(frozen, trainable, model_cfg: ModelConfig,
         logger.info("training text epoch %d:", epoch)
         losses = []
         t0 = time.time()
-        for batch in text_dataset.batches(train_cfg.text_batch_size,
-                                          shuffle=True):
+        for batch in prefetch(text_dataset.batches(
+                train_cfg.text_batch_size, shuffle=True)):
             batch, _ = _pad_batch(batch, n_dev)
             images = jnp.asarray(batch["image"])
             masks = jnp.asarray(batch["mask"])
@@ -101,9 +101,11 @@ def run_stage1(frozen, trainable, model_cfg: ModelConfig,
             patch_feats = visual_fn(frozen, images)
             text_params, opt_state, loss = step_fn(
                 text_params, opt_state, frozen, patch_feats, masks, class_idx)
-            losses.append(float(loss))
-        logger.info("loss: %f (%.1fs)", float(np.mean(losses)),
-                    time.time() - t0)
+            # keep the loss on device: fetching per step would synchronize
+            # the dispatch pipeline every iteration
+            losses.append(loss)
+        logger.info("loss: %f (%.1fs)",
+                    float(jnp.mean(jnp.stack(losses))), time.time() - t0)
         ckpt.save_stage1(train_cfg.save_path, epoch + 1, text_params, opt_state)
 
     trainable = dict(trainable)
@@ -167,8 +169,8 @@ def run_stage2(frozen, trainable, model_cfg: ModelConfig,
         logger.info("training image epoch %d:", epoch)
         losses = []
         t0 = time.time()
-        for batch in image_dataset.batches(train_cfg.image_batch_size,
-                                           shuffle=True):
+        for batch in prefetch(image_dataset.batches(
+                train_cfg.image_batch_size, shuffle=True)):
             batch, _ = _pad_batch(batch, n_dev)
             anchor_stack = jnp.stack(
                 [anchors[c] for c in batch["class_name"]], axis=0)
@@ -176,9 +178,9 @@ def run_stage2(frozen, trainable, model_cfg: ModelConfig,
                 trainable, opt_state, frozen,
                 jnp.asarray(batch["image"]), jnp.asarray(batch["mask"]),
                 jnp.asarray(batch["label"]), anchor_stack)
-            losses.append(float(loss))
-        logger.info("loss: %f (%.1fs)", float(np.mean(losses)),
-                    time.time() - t0)
+            losses.append(loss)
+        logger.info("loss: %f (%.1fs)",
+                    float(jnp.mean(jnp.stack(losses))), time.time() - t0)
         ckpt.save_stage2(train_cfg.save_path, epoch + 1, trainable, opt_state)
     return trainable
 
