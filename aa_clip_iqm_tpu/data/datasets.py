@@ -245,32 +245,60 @@ class SingleClassTestDataset:
 def prefetch(iterator, depth: int = 2):
     """Background-thread prefetcher: overlaps host-side decode/augment with
     device compute (the reference relies on torch DataLoader workers,
-    train.py:380; here one thread suffices since jax dispatch is async)."""
+    train.py:380; here one thread suffices since jax dispatch is async).
+
+    Shuts the worker down cleanly if the consumer abandons the generator
+    (exception mid-epoch): the worker's blocking put is bounded by a stop
+    flag, so no thread or decoded-batch memory leaks.
+    """
     import queue
     import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = threading.Event()
     sentinel = object()
     err = []
 
     def worker():
         try:
             for item in iterator:
-                q.put(item)
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except BaseException as e:  # propagate into the consumer
             err.append(e)
         finally:
-            q.put(sentinel)
+            # the sentinel must actually land (a full queue would otherwise
+            # drop it and hang the consumer); the stop flag bounds the wait
+            while not stop.is_set():
+                try:
+                    q.put(sentinel, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
 
 
 def collate(items: List[dict]) -> dict:

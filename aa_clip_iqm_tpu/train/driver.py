@@ -104,8 +104,8 @@ def run_stage1(frozen, trainable, model_cfg: ModelConfig,
             # keep the loss on device: fetching per step would synchronize
             # the dispatch pipeline every iteration
             losses.append(loss)
-        logger.info("loss: %f (%.1fs)",
-                    float(jnp.mean(jnp.stack(losses))), time.time() - t0)
+        mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
+        logger.info("loss: %f (%.1fs)", mean_loss, time.time() - t0)
         ckpt.save_stage1(train_cfg.save_path, epoch + 1, text_params, opt_state)
 
     trainable = dict(trainable)
@@ -179,8 +179,8 @@ def run_stage2(frozen, trainable, model_cfg: ModelConfig,
                 jnp.asarray(batch["image"]), jnp.asarray(batch["mask"]),
                 jnp.asarray(batch["label"]), anchor_stack)
             losses.append(loss)
-        logger.info("loss: %f (%.1fs)",
-                    float(jnp.mean(jnp.stack(losses))), time.time() - t0)
+        mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
+        logger.info("loss: %f (%.1fs)", mean_loss, time.time() - t0)
         ckpt.save_stage2(train_cfg.save_path, epoch + 1, trainable, opt_state)
     return trainable
 
