@@ -67,6 +67,13 @@ def build_parser():
                         help="shard batches over all local devices")
     parser.add_argument("--use_pallas", action="store_true",
                         help="Pallas flash attention in the backbone")
+    parser.add_argument("--torch_lr_quirk", action="store_true",
+                        help="reproduce the reference's per-batch-stepped "
+                        "T_max=epochs cosine schedule")
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialize blocks in the stage-2 backward")
+    parser.add_argument("--profile_dir", type=str, default=None)
+    parser.add_argument("--debug_nans", action="store_true")
     return parser
 
 
@@ -97,7 +104,12 @@ def main():
         text_norm_weight=args.text_norm_weight,
         iqm_loss_weight=args.iqm_weight, seed=args.seed,
         save_path=args.save_path, compute_dtype=args.compute_dtype,
+        torch_lr_quirk=args.torch_lr_quirk, remat=args.remat,
     )
+    if args.debug_nans:
+        from aa_clip_iqm_tpu.utils.profiling import enable_nan_checks
+
+        enable_nan_checks(True)
 
     frozen = load_frozen_backbone(model_cfg, args.backbone,
                                   allow_random=args.random_backbone)
@@ -110,8 +122,11 @@ def main():
         mesh = make_mesh()
         logger.info("data-parallel over %d devices", mesh.devices.size)
 
-    run_training(frozen, trainable, model_cfg, train_cfg, logger, mesh=mesh,
-                 use_pallas=args.use_pallas)
+    from aa_clip_iqm_tpu.utils.profiling import trace
+
+    with trace(args.profile_dir):
+        run_training(frozen, trainable, model_cfg, train_cfg, logger,
+                     mesh=mesh, use_pallas=args.use_pallas)
 
 
 if __name__ == "__main__":
