@@ -215,6 +215,30 @@ def _bwd(scale, res, g):
 _flash_attention_bh.defvjp(_fwd, _bwd)
 
 
+# Packed-kernel tiling knobs (see flash_mha_packed): how many query rows one
+# program handles and how many heads share a program's 128*k-column panel.
+# Swept on v5e at ViT-L/518 (1370 tokens, 16 heads x 64): q-block ~704 rows /
+# 2-head panels is fastest (4.15 ms/layer vs 4.93 at 128/2); larger head
+# groups overflow VMEM. PACKED_BLK_Q=None picks the block adaptively.
+PACKED_BLK_Q = None
+PACKED_BLK_Q_TARGET = 704
+PACKED_GROUP_HEADS = None  # None -> minimum legal (128 // head_dim)
+_VMEM_SCORE_BYTES = 4 * 1024 * 1024  # budget for the (blk_q, L) fp32 row
+
+
+def _choose_blk_q(seq_len: int) -> int:
+    """Divide the 128-aligned sequence into equal q-blocks near the swept
+    optimum, capped so the fp32 score row fits the VMEM budget."""
+    if PACKED_BLK_Q is not None:
+        return PACKED_BLK_Q
+    l128 = _round_up(seq_len, 128)
+    n_blocks = max(1, round(l128 / PACKED_BLK_Q_TARGET))
+    blk = -(-l128 // n_blocks)          # ceil
+    blk = _round_up(blk, 8)
+    cap = max(128, (_VMEM_SCORE_BYTES // (4 * l128)) // 8 * 8)
+    return min(blk, cap)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
 def flash_mha_packed(qkv, num_heads: int, scale: float, vv: bool = False,
                      valid_len=None):
@@ -232,7 +256,8 @@ def flash_mha_packed(qkv, num_heads: int, scale: float, vv: bool = False,
     b, in_len, threew = qkv.shape
     w = threew // 3
     hd = w // num_heads
-    l_pad = _round_up(in_len, BLK_Q)
+    blk_q = _choose_blk_q(in_len)
+    l_pad = _round_up(in_len, blk_q)
     if l_pad != in_len:
         qkv = jnp.pad(qkv, ((0, 0), (0, l_pad - in_len), (0, 0)))
     # Number of real tokens: tokens beyond it (kernel padding, or the
@@ -240,8 +265,16 @@ def flash_mha_packed(qkv, num_heads: int, scale: float, vv: bool = False,
     seq_len = valid_len if valid_len is not None else in_len
 
     # Mosaic wants trailing block dims in multiples of 128: group heads into
-    # 128-column panels (2 heads at hd=64).
-    group = max(1, LANE // hd)
+    # 128*k-column panels (minimum 2 heads at hd=64).
+    min_group = max(1, LANE // hd)
+    group = PACKED_GROUP_HEADS or min_group
+    group = max(group, min_group)
+    while num_heads % group:
+        group -= 1
+    if group < min_group:
+        raise ValueError(
+            f"num_heads={num_heads} has no legal head grouping for hd={hd}; "
+            "gate calls with attention._packed_pallas_ok")
     panel = group * hd
     n_panels = num_heads // group
     q_sec, k_sec, v_sec = (2, 2, 2) if vv else (0, 1, 2)
@@ -251,9 +284,9 @@ def flash_mha_packed(qkv, num_heads: int, scale: float, vv: bool = False,
                                seq_len=seq_len, heads_per_block=group)
     out = pl.pallas_call(
         kernel,
-        grid=(b, n_panels, l_pad // BLK_Q),
+        grid=(b, n_panels, l_pad // blk_q),
         in_specs=[
-            pl.BlockSpec((1, BLK_Q, panel),
+            pl.BlockSpec((1, blk_q, panel),
                          lambda bi, hi, j, s=q_sec: (bi, j, s * sec_panels + hi),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, l_pad, panel),
@@ -263,7 +296,7 @@ def flash_mha_packed(qkv, num_heads: int, scale: float, vv: bool = False,
                          lambda bi, hi, j, s=v_sec: (bi, 0, s * sec_panels + hi),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, BLK_Q, panel),
+        out_specs=pl.BlockSpec((1, blk_q, panel),
                                lambda bi, hi, j: (bi, j, hi),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, l_pad, w), qkv.dtype),
