@@ -64,6 +64,7 @@ def main():
     parser.add_argument("--seed", type=int, default=111)
     parser.add_argument("--compute_dtype", type=str, default="bfloat16",
                         choices=["bfloat16", "float32"])
+    parser.add_argument("--use_pallas", action="store_true")
     args = parser.parse_args()
     setup_seed(args.seed)
 
@@ -103,7 +104,8 @@ def main():
         anchor = compute_class_anchor(encode, dataset or "MVTec",
                                       args.class_name)
         predict = make_predict_fn(model_cfg, args.img_size, domain,
-                                  compute_dtype=dtype)
+                                  compute_dtype=dtype,
+                                  use_pallas=args.use_pallas)
         final_map, logit = predict(frozen, trainable, images, anchor[None])
         score = float(logit[0])
     else:
@@ -114,7 +116,8 @@ def main():
 
         anchor = compute_class_anchor(encode, dataset or "MVTec",
                                       args.class_name)
-        visual_fn = make_stage1_visual_fn(model_cfg, compute_dtype=dtype)
+        visual_fn = make_stage1_visual_fn(model_cfg, compute_dtype=dtype,
+                                          use_pallas=args.use_pallas)
         feats = visual_fn(frozen, images)
         maps = [
             similarity_map_test(f, anchor[None], args.img_size, domain)
