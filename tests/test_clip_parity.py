@@ -74,6 +74,25 @@ def test_vision_forward_vv_surgery_parity(setup):
         np.testing.assert_allclose(np.asarray(t), rt.numpy(), rtol=1e-4, atol=1e-5)
 
 
+def test_dual_vision_features_matches_two_towers(setup):
+    """The shared-prefix stage-1 forward == running the surgery tower and the
+    plain tower separately (train.py:75-76 runs two full CLIP copies)."""
+    sd, params, images, _ = setup
+    vv_from = jclip.surgery_vv_from(V_LAYERS, dpam_layer=3)
+    pooled_ref, _, _ = jclip.vision_forward(
+        params["visual"], CFG.vision, jnp.asarray(images))
+    _, taps_ref, _ = jclip.vision_forward(
+        params["visual"], CFG.vision, jnp.asarray(images), out_layers=(2, 3),
+        vv_from=vv_from)
+    pooled, taps = jclip.dual_vision_features(
+        params["visual"], CFG.vision, jnp.asarray(images), (2, 3), vv_from)
+    np.testing.assert_allclose(np.asarray(pooled), np.asarray(pooled_ref),
+                               rtol=1e-5, atol=1e-6)
+    for t, rt in zip(taps, taps_ref):
+        np.testing.assert_allclose(np.asarray(t), np.asarray(rt),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_text_forward_parity(setup):
     sd, params, _, rng = setup
     tokens = np.zeros((3, 77), dtype=np.int32)
