@@ -99,21 +99,23 @@ def _color_jitter(rng: np.random.Generator, img01: np.ndarray) -> np.ndarray:
 def _joint_geometric(rng: np.random.Generator, stacked: np.ndarray) -> np.ndarray:
     """Rotation/translate/flip applied identically to all channels.
 
-    stacked: (C, H, W) with image channels + mask channel. Bilinear warp
-    (mask stays near-binary; the reference also bilinear-warps the mask
-    through torchvision and re-thresholds implicitly at loss time).
+    stacked: (C, H, W) with image channels + mask channel. Nearest-neighbor
+    warp — torchvision RandomRotation/RandomAffine default to NEAREST, so the
+    reference's mask channel stays exactly binary through the augmentation;
+    matching that keeps our loss targets binary too.
     """
     c, h, w = stacked.shape
     use_native = _use_native()
 
     def warp(chw, M):
         if use_native:
-            return native_pipeline.warp_affine_chw(chw, np.asarray(M))
+            return native_pipeline.warp_affine_chw(chw, np.asarray(M),
+                                                   bilinear=False)
         import cv2
 
         return cv2.warpAffine(
             chw.transpose(1, 2, 0), np.asarray(M, np.float32), (w, h),
-            flags=cv2.INTER_LINEAR).transpose(2, 0, 1)
+            flags=cv2.INTER_NEAREST).transpose(2, 0, 1)
 
     def rotation_matrix(angle_deg):
         # cv2.getRotationMatrix2D about the pixel-center of the image.

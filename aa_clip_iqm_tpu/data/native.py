@@ -55,7 +55,7 @@ def load_library() -> Optional[ctypes.CDLL]:
         lib.warp_affine_chw.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_double)]
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int]
         lib.flip_chw.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -99,14 +99,18 @@ def normalize_chw(img: np.ndarray, mean, std) -> np.ndarray:
     return img
 
 
-def warp_affine_chw(stack: np.ndarray, M: np.ndarray) -> np.ndarray:
-    """cv2.warpAffine-equivalent bilinear warp (zero border) of (C, H, W)."""
+def warp_affine_chw(stack: np.ndarray, M: np.ndarray,
+                    bilinear: bool = False) -> np.ndarray:
+    """cv2.warpAffine-equivalent warp (zero border) of (C, H, W). Default is
+    nearest-neighbor — torchvision's RandomRotation/RandomAffine default,
+    which the reference depends on to keep mask channels binary."""
     lib = load_library()
     stack = np.ascontiguousarray(stack, np.float32)
     M = np.ascontiguousarray(M, np.float64)
     out = np.empty_like(stack)
     lib.warp_affine_chw(_float_ptr(stack), _float_ptr(out), stack.shape[0],
-                        stack.shape[1], stack.shape[2], _double_ptr(M))
+                        stack.shape[1], stack.shape[2], _double_ptr(M),
+                        int(bilinear))
     return out
 
 

@@ -81,16 +81,18 @@ def load_frozen_backbone(cfg: ModelConfig, backbone_path: Optional[str] = None,
             params["visual"]["positional_embedding"] = jax.numpy.asarray(
                 clip_mod.resize_pos_embed_np(pos, cfg.clip.vision.grid))
         return params
+    # Per-resolution cache next to the .pt: the pos embed inside is already
+    # resized, and loading it skips the torch conversion entirely.
+    cache = (os.path.splitext(path)[0]
+             + f".{cfg.clip.vision.image_size}.npz")
+    if os.path.isfile(cache):
+        return load_params_npz(cache)
     params = load_openai_checkpoint(path, cfg.clip)
-    if cache_npz:
-        # Per-resolution cache: the pos embed inside is already resized.
-        cache = (os.path.splitext(path)[0]
-                 + f".{cfg.clip.vision.image_size}.npz")
-        if not os.path.exists(cache):
-            try:
-                save_params_npz(params, cache)
-            except OSError:
-                pass
+    if cache_npz and not os.path.exists(cache):
+        try:
+            save_params_npz(params, cache)
+        except OSError:
+            pass
     return params
 
 

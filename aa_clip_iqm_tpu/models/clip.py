@@ -368,19 +368,18 @@ def dual_vision_features(
     x = x + params["positional_embedding"].astype(compute_dtype)
     x = layer_norm(params["ln_pre"], x)
 
-    if any(t <= vv_from for t in out_layers):
-        raise ValueError(
-            "tap layers inside the shared prefix are ambiguous between "
-            "branches; DAPM surgery starts before the first tap in all "
-            "reference configurations"
-        )
-
     act = ACTIVATIONS[act_name]
     n_layers = cfg.layers
-    x = run_block_range(params["blocks"], x, 0, vv_from, cfg.heads, act,
-                        use_pallas=use_pallas)
-
     taps = []
+    # Shared prefix [0, vv_from): taps here are identical in both branches
+    # (a layer-k output taken before any surgeried block), so collect them
+    # while running the prefix once.
+    for start, stop in _segments(vv_from, list(out_layers)):
+        x = run_block_range(params["blocks"], x, start, stop, cfg.heads, act,
+                            use_pallas=use_pallas)
+        if stop in out_layers:
+            taps.append(x)
+
     xs = x
     for start, stop in _segments(n_layers, [vv_from, *out_layers]):
         if stop <= vv_from:

@@ -57,24 +57,6 @@ def replicate(mesh: Mesh, tree):
     return jax.tree.map(lambda x: jax.device_put(x, spec), tree)
 
 
-def pad_batch_to_multiple(batch_arrays, multiple: int):
-    """Zero-pad leading axis to a multiple of the data-axis size; returns
-    (padded_tree, n_valid)."""
-    n = None
-    for leaf in jax.tree.leaves(batch_arrays):
-        n = leaf.shape[0]
-        break
-    if n is None or n % multiple == 0:
-        return batch_arrays, n
-    pad = multiple - (n % multiple)
-
-    def _pad(x):
-        widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
-        return np.pad(x, widths)
-
-    return jax.tree.map(_pad, batch_arrays), n
-
-
 # ----------------------------------------------------------------------
 # Tensor-parallel parameter shardings for the CLIP backbone (Megatron-style)
 # ----------------------------------------------------------------------

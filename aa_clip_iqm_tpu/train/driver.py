@@ -40,6 +40,8 @@ class TrainState:
 
 
 def _pad_batch(batch, multiple: int):
+    """Zero-pad the batch to a device-count multiple; the returned n_valid
+    feeds a per-sample weight mask so padded rows carry zero loss."""
     n = batch["image"].shape[0]
     if n % multiple == 0:
         return batch, n
@@ -93,14 +95,17 @@ def run_stage1(frozen, trainable, model_cfg: ModelConfig,
         t0 = time.time()
         for batch in prefetch(text_dataset.batches(
                 train_cfg.text_batch_size, shuffle=True)):
-            batch, _ = _pad_batch(batch, n_dev)
+            batch, n_valid = _pad_batch(batch, n_dev)
             images = jnp.asarray(batch["image"])
             masks = jnp.asarray(batch["mask"])
             class_idx = jnp.asarray(
                 [class_to_idx[c] for c in batch["class_name"]], jnp.int32)
+            weights = jnp.asarray(
+                (np.arange(images.shape[0]) < n_valid).astype(np.float32))
             patch_feats = visual_fn(frozen, images)
             text_params, opt_state, loss = step_fn(
-                text_params, opt_state, frozen, patch_feats, masks, class_idx)
+                text_params, opt_state, frozen, patch_feats, masks, class_idx,
+                weights)
             # keep the loss on device: fetching per step would synchronize
             # the dispatch pipeline every iteration
             losses.append(loss)
@@ -171,13 +176,16 @@ def run_stage2(frozen, trainable, model_cfg: ModelConfig,
         t0 = time.time()
         for batch in prefetch(image_dataset.batches(
                 train_cfg.image_batch_size, shuffle=True)):
-            batch, _ = _pad_batch(batch, n_dev)
+            batch, n_valid = _pad_batch(batch, n_dev)
             anchor_stack = jnp.stack(
                 [anchors[c] for c in batch["class_name"]], axis=0)
+            weights = jnp.asarray(
+                (np.arange(batch["image"].shape[0]) < n_valid)
+                .astype(np.float32))
             trainable, opt_state, loss = step_fn(
                 trainable, opt_state, frozen,
                 jnp.asarray(batch["image"]), jnp.asarray(batch["mask"]),
-                jnp.asarray(batch["label"]), anchor_stack)
+                jnp.asarray(batch["label"]), anchor_stack, weights)
             losses.append(loss)
         mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
         logger.info("loss: %f (%.1fs)", mean_loss, time.time() - t0)

@@ -86,7 +86,7 @@ def make_stage1_step(cfg: ModelConfig, train_cfg: TrainConfig, prompt_tokens,
     last_only = train_cfg.stage1_last_level_only
     norm_w = train_cfg.text_norm_weight
 
-    def loss_fn(text_params, frozen, patch_feats, masks, class_idx):
+    def loss_fn(text_params, frozen, patch_feats, masks, class_idx, weights):
         emb = adapters_mod.encode_text_adapted(
             frozen, {"text_adapter": text_params}, cfg, prompt_tokens,
             compute_dtype=compute_dtype,
@@ -95,14 +95,16 @@ def make_stage1_step(cfg: ModelConfig, train_cfg: TrainConfig, prompt_tokens,
             emb, n_classes, n_normal, n_abnormal)          # (C, D, 2)
         anchors = anchors_all[class_idx]                   # (B, D, 2)
 
-        # Orthogonality regularizer (train.py:91-96, survey Q8).
-        ortho = jnp.mean(
-            jnp.sum(anchors[:, :, 0] * anchors[:, :, 1], axis=1)) ** 2
+        # Orthogonality regularizer (train.py:91-96, survey Q8). Weighted
+        # mean so batch-padding rows (weight 0) don't dilute it.
+        w = weights.astype(jnp.float32)
+        dots = jnp.sum(anchors[:, :, 0] * anchors[:, :, 1], axis=1)
+        ortho = (jnp.sum(dots * w) / jnp.maximum(jnp.sum(w), 1.0)) ** 2
 
         losses = []
         for f in patch_feats:
             probs = scoring.similarity_map_train(f, anchors, img_size)
-            losses.append(seg_loss(probs, masks))
+            losses.append(seg_loss(probs, masks, sample_weight=weights))
         if last_only:
             # Fidelity with the reference's loss reassignment (survey Q3):
             # only the deepest level contributes gradient.
@@ -112,9 +114,10 @@ def make_stage1_step(cfg: ModelConfig, train_cfg: TrainConfig, prompt_tokens,
         total = total + ortho * norm_w
         return total
 
-    def step(text_params, opt_state, frozen, patch_feats, masks, class_idx):
+    def step(text_params, opt_state, frozen, patch_feats, masks, class_idx,
+             weights):
         loss, grads = jax.value_and_grad(loss_fn)(
-            text_params, frozen, patch_feats, masks, class_idx)
+            text_params, frozen, patch_feats, masks, class_idx, weights)
         updates, opt_state = tx.update(grads, opt_state, text_params)
         text_params = optax.apply_updates(text_params, updates)
         return text_params, opt_state, loss
@@ -128,7 +131,7 @@ def make_stage1_step(cfg: ModelConfig, train_cfg: TrainConfig, prompt_tokens,
         return jax.jit(
             step,
             in_shardings=(rep, rep, rep, [dat] * len(cfg.adapter.levels),
-                          dat, dat),
+                          dat, dat, dat),
             out_shardings=(rep, rep, rep),
         )
     return jax.jit(step)
@@ -151,7 +154,7 @@ def make_stage2_step(cfg: ModelConfig, train_cfg: TrainConfig,
 
     remat = getattr(train_cfg, "remat", False)
 
-    def loss_fn(trainable, frozen, images, masks, labels, anchors):
+    def loss_fn(trainable, frozen, images, masks, labels, anchors, weights):
         out = adapters_mod.encode_image_adapted(
             frozen, trainable, cfg, images, text_anchors=anchors,
             compute_dtype=compute_dtype, use_pallas=use_pallas, remat=remat,
@@ -159,21 +162,23 @@ def make_stage2_step(cfg: ModelConfig, train_cfg: TrainConfig,
         cls_logits = jnp.einsum("bd,bdc->bc",
                                 out.det_token.astype(jnp.float32),
                                 anchors.astype(jnp.float32))
-        total = cross_entropy_logits(cls_logits, labels) * det_w
+        total = cross_entropy_logits(cls_logits, labels,
+                                     sample_weight=weights) * det_w
 
         for f in out.seg_tokens:
             probs = scoring.similarity_map_train(f, anchors, img_size)
-            total += seg_loss(probs, masks) * text_w * 0.5
+            total += seg_loss(probs, masks, sample_weight=weights) * text_w * 0.5
 
         q = adapters_mod.project_queries(trainable, out.iqm_queries)
         for f in out.seg_tokens:
             iqm_map = scoring.iqm_train_map(f, q, img_size)
-            total += seg_loss(iqm_map, masks) * iqm_w * 0.5
+            total += seg_loss(iqm_map, masks, sample_weight=weights) * iqm_w * 0.5
         return total
 
-    def step(trainable, opt_state, frozen, images, masks, labels, anchors):
+    def step(trainable, opt_state, frozen, images, masks, labels, anchors,
+             weights):
         loss, grads = jax.value_and_grad(loss_fn)(
-            trainable, frozen, images, masks, labels, anchors)
+            trainable, frozen, images, masks, labels, anchors, weights)
         if clip_grad_norm is not None:
             grads, _ = optax.clip_by_global_norm(clip_grad_norm).update(
                 grads, optax.EmptyState())
@@ -187,7 +192,7 @@ def make_stage2_step(cfg: ModelConfig, train_cfg: TrainConfig,
         rep, dat = replicated(mesh), batch_sharding(mesh)
         return jax.jit(
             step,
-            in_shardings=(rep, rep, rep, dat, dat, dat, dat),
+            in_shardings=(rep, rep, rep, dat, dat, dat, dat, dat),
             out_shardings=(rep, rep, rep),
         )
     return jax.jit(step)

@@ -90,14 +90,16 @@ def bench_train():
     anchors = jnp.asarray(rng.standard_normal(
         (batch, cfg.clip.embed_dim, 2)).astype(np.float32))
 
+    weights = jnp.ones(batch, jnp.float32)
     trainable, opt_state, loss = step(trainable, opt_state, frozen, images,
-                                      masks, labels, anchors)
+                                      masks, labels, anchors, weights)
     np.asarray(loss)
     iters = 6
     t0 = time.perf_counter()
     for _ in range(iters):
         trainable, opt_state, loss = step(trainable, opt_state, frozen,
-                                          images, masks, labels, anchors)
+                                          images, masks, labels, anchors,
+                                          weights)
         np.asarray(loss)
     dt = time.perf_counter() - t0
     ips = batch * iters / dt

@@ -156,12 +156,14 @@ void normalize_chw(float* img, int c, int h, int w,
     }
 }
 
-// Inverse-mapped bilinear affine warp of a CHW stack (image+mask channels
-// together — the joint geometric augmentation), zero padding outside.
-// M is the 2x3 forward cv2-style matrix; this applies cv2.warpAffine
-// semantics: dst(x,y) = src(Minv * (x,y,1)).
+// Inverse-mapped affine warp of a CHW stack (image+mask channels together —
+// the joint geometric augmentation), zero padding outside. M is the 2x3
+// forward cv2-style matrix; applies cv2.warpAffine semantics:
+// dst(x,y) = src(Minv * (x,y,1)). bilinear=0 -> nearest neighbor (the
+// torchvision default for RandomRotation/RandomAffine, which the reference
+// relies on to keep the mask channel binary).
 void warp_affine_chw(const float* src, float* dst, int c, int h, int w,
-                     const double* M) {
+                     const double* M, int bilinear) {
     // invert [[a,b,tx],[d,e,ty]]
     const double a = M[0], b = M[1], tx = M[2];
     const double d = M[3], e = M[4], ty = M[5];
@@ -176,23 +178,37 @@ void warp_affine_chw(const float* src, float* dst, int c, int h, int w,
         for (int x = 0; x < w; ++x) {
             const double sx = ia * x + ib * y + itx;
             const double sy = id * x + ie * y + ity;
-            const int x0 = static_cast<int>(std::floor(sx));
-            const int y0 = static_cast<int>(std::floor(sy));
-            const double fx = sx - x0, fy = sy - y0;
-            for (int ch = 0; ch < c; ++ch) {
-                const float* p = src + ch * plane;
-                double acc = 0.0;
-                for (int dy2 = 0; dy2 <= 1; ++dy2) {
-                    for (int dx2 = 0; dx2 <= 1; ++dx2) {
-                        const int xx = x0 + dx2, yy = y0 + dy2;
-                        if (xx < 0 || xx >= w || yy < 0 || yy >= h) continue;
-                        const double wgt =
-                            (dx2 ? fx : 1.0 - fx) * (dy2 ? fy : 1.0 - fy);
-                        acc += wgt * p[static_cast<size_t>(yy) * w + xx];
+            if (bilinear) {
+                const int x0 = static_cast<int>(std::floor(sx));
+                const int y0 = static_cast<int>(std::floor(sy));
+                const double fx = sx - x0, fy = sy - y0;
+                for (int ch = 0; ch < c; ++ch) {
+                    const float* p = src + ch * plane;
+                    double acc = 0.0;
+                    for (int dy2 = 0; dy2 <= 1; ++dy2) {
+                        for (int dx2 = 0; dx2 <= 1; ++dx2) {
+                            const int xx = x0 + dx2, yy = y0 + dy2;
+                            if (xx < 0 || xx >= w || yy < 0 || yy >= h)
+                                continue;
+                            const double wgt =
+                                (dx2 ? fx : 1.0 - fx) * (dy2 ? fy : 1.0 - fy);
+                            acc += wgt * p[static_cast<size_t>(yy) * w + xx];
+                        }
                     }
+                    dst[ch * plane + static_cast<size_t>(y) * w + x] =
+                        static_cast<float>(acc);
                 }
-                dst[ch * plane + static_cast<size_t>(y) * w + x] =
-                    static_cast<float>(acc);
+            } else {
+                // cv2 INTER_NEAREST rounding
+                const int xx = static_cast<int>(std::floor(sx + 0.5));
+                const int yy = static_cast<int>(std::floor(sy + 0.5));
+                const bool inside = xx >= 0 && xx < w && yy >= 0 && yy < h;
+                for (int ch = 0; ch < c; ++ch) {
+                    dst[ch * plane + static_cast<size_t>(y) * w + x] =
+                        inside ? src[ch * plane +
+                                     static_cast<size_t>(yy) * w + xx]
+                               : 0.0f;
+                }
             }
         }
     }

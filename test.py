@@ -34,7 +34,11 @@ def build_parser():
     parser.add_argument("--backbone", type=str, default=None)
     parser.add_argument("--random_backbone", action="store_true")
     parser.add_argument("--dataset", type=str, default="MVTec")
-    parser.add_argument("--batch_size", type=int, default=32)
+    parser.add_argument("--batch_size", type=int, default=32,
+                        help="accepted for reference-CLI compatibility; the "
+                        "eval loader uses --image_batch_size (the reference's "
+                        "test_last.py has the same pair and likewise only "
+                        "uses image_batch_size)")
     parser.add_argument("--image_batch_size", type=int, default=32)
     parser.add_argument("--seed", type=int, default=111)
     parser.add_argument("--save_path", type=str, default="ckpt/baseline")

@@ -42,15 +42,31 @@ def test_normalize_matches_numpy(rng):
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
 
 
-def test_warp_affine_matches_cv2(rng):
+def test_warp_affine_bilinear_matches_cv2(rng):
     import cv2
 
     stack = rng.random((4, 48, 48)).astype(np.float32)
     M = cv2.getRotationMatrix2D((23.5, 23.5), 17.0, 1.0)
     ref = cv2.warpAffine(stack.transpose(1, 2, 0), M, (48, 48),
                          flags=cv2.INTER_LINEAR).transpose(2, 0, 1)
-    out = native.warp_affine_chw(stack, M)
+    out = native.warp_affine_chw(stack, M, bilinear=True)
     np.testing.assert_allclose(out, ref, atol=2e-4)
+
+
+def test_warp_affine_nearest_matches_cv2_and_keeps_masks_binary(rng):
+    import cv2
+
+    img = rng.random((3, 48, 48)).astype(np.float32)
+    mask = (rng.random((1, 48, 48)) > 0.5).astype(np.float32)
+    stack = np.concatenate([img, mask], axis=0)
+    M = cv2.getRotationMatrix2D((23.5, 23.5), -23.0, 1.0)
+    ref = cv2.warpAffine(stack.transpose(1, 2, 0), M, (48, 48),
+                         flags=cv2.INTER_NEAREST).transpose(2, 0, 1)
+    out = native.warp_affine_chw(stack, M, bilinear=False)
+    # identical pixel choice up to boundary rounding ties
+    mismatches = np.mean(out != ref)
+    assert mismatches < 0.02
+    assert set(np.unique(out[3])) <= {0.0, 1.0}  # mask stays binary
 
 
 def test_flip_matches_numpy(rng):

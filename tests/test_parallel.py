@@ -54,7 +54,8 @@ def test_data_parallel_stage2_matches_single_device(model, batch):
             (8, cfg.clip.embed_dim, 2)).astype(np.float32))
 
     args = (jnp.asarray(batch["image"]), jnp.asarray(batch["mask"]),
-            jnp.asarray(batch["label"]), anchors)
+            jnp.asarray(batch["label"]), anchors,
+            jnp.ones(batch["image"].shape[0], jnp.float32))
 
     single = steps.make_stage2_step(cfg, train_cfg, tx,
                                     compute_dtype=jnp.float32)
@@ -137,8 +138,10 @@ def test_stage1_step_data_parallel(model, batch):
                                      n_norm, n_abn, tx, mesh=mesh)
     feats = visual_fn(frozen, jnp.asarray(batch["image"]))
     class_idx = jnp.zeros(8, jnp.int32)
+    weights = jnp.ones(8, jnp.float32)
     new_params, _, loss = step_fn(text_params, opt_state, frozen, feats,
-                                  jnp.asarray(batch["mask"]), class_idx)
+                                  jnp.asarray(batch["mask"]), class_idx,
+                                  weights)
     assert np.isfinite(float(loss))
     diff = np.abs(np.asarray(new_params["layers"]["w"]) -
                   np.asarray(text_params["layers"]["w"])).max()
