@@ -20,9 +20,8 @@ consumer) is intentionally dropped.
 from __future__ import annotations
 
 import json
-import math
 import os
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import numpy as np
 from PIL import Image

@@ -8,7 +8,6 @@ test_last.py:53-158 (get_predictions) + the per-class driver loop
 """
 from __future__ import annotations
 
-import functools
 from typing import Dict, Optional
 
 import jax

@@ -14,7 +14,6 @@ from __future__ import annotations
 from typing import Callable, Dict, List
 
 import jax.numpy as jnp
-import numpy as np
 
 from .data.registry import CLASS_NAMES, PROMPTS, REAL_NAMES
 from .ops.layers import l2_normalize

@@ -15,12 +15,10 @@ import time
 from dataclasses import dataclass
 from typing import Dict, Optional
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..configs import ModelConfig, TrainConfig
-from ..data import registry
 from ..data.datasets import get_dataset, prefetch
 from ..models import adapters as adapters_mod
 from ..prompts import batched_prompt_tokens

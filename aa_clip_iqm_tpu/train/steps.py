@@ -16,7 +16,6 @@ with the trained query projection (fixing survey Q2).
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -21,10 +21,7 @@ import jax.numpy as jnp
 from aa_clip_iqm_tpu.data.datasets import _load_image, normalize_clip
 from aa_clip_iqm_tpu.data.registry import DATASETS
 from aa_clip_iqm_tpu.evaluation.predict import make_predict_fn
-from aa_clip_iqm_tpu.evaluation.scoring import (
-    BLUR_SETTINGS,
-    similarity_map_test,
-)
+from aa_clip_iqm_tpu.evaluation.scoring import similarity_map_test
 from aa_clip_iqm_tpu.loader import (
     build_model_config,
     init_trainable,
