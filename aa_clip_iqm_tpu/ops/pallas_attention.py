@@ -312,6 +312,141 @@ def flash_mha_packed(qkv, num_heads: int, scale: float, vv: bool = False,
     return out[:, :in_len, :]
 
 
+def _bwd_kernel_grouped(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
+                        *, scale: float, seq_len: int, heads_per_block: int):
+    """Flash backward for the packed row kernel (standard q/k/v path).
+
+    Recomputes s and p for its q-block (no saved probabilities), then
+      dv += p^T dO;  dp = dO v^T;  D = rowsum(p * dp);
+      ds = p (dp - D);  dq = ds k * scale;  dk += ds^T q * scale.
+    dk/dv output blocks keep a constant index over the innermost grid
+    dimension (q-blocks), so Pallas keeps them resident in VMEM and we
+    initialize at j==0 and accumulate across j (revisiting pattern).
+    """
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+
+    g = heads_per_block
+    hd = q_ref.shape[-1] // g
+    for i in range(g):
+        sl = slice(i * hd, (i + 1) * hd)
+        q = q_ref[0, :, sl].astype(jnp.float32) * scale   # (blk, hd)
+        k = k_ref[0, :, sl]                                # (L, hd)
+        v = v_ref[0, :, sl]
+        dO = g_ref[0, :, sl].astype(jnp.float32)           # (blk, hd)
+
+        s = jax.lax.dot_general(
+            q, k.astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (blk, L)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < seq_len, s, -jnp.inf)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=1, keepdims=True)          # (blk, L)
+
+        pb = p.astype(v.dtype)
+        dv_ref[0, :, sl] += jax.lax.dot_general(
+            pb, dO.astype(v.dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+
+        dp = jax.lax.dot_general(
+            dO.astype(v.dtype), v,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (blk, L)
+        d_row = jnp.sum(p * dp, axis=1, keepdims=True)
+        ds = p * (dp - d_row)                              # (blk, L)
+        dsb = ds.astype(k.dtype)
+
+        dq_ref[0, :, sl] = (jax.lax.dot_general(
+            dsb, k, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale).astype(dq_ref.dtype)
+        # q here already carries the scale factor: dL/dk = ds^T (q_raw*scale)
+        dk_ref[0, :, sl] += jax.lax.dot_general(
+            dsb, q.astype(k.dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+
+
+# Separate (smaller) q-block budget for the backward kernel: it holds two
+# (blk, L) fp32 rows (p and ds) plus the dk/dv accumulators in VMEM.
+_BWD_VMEM_SCORE_BYTES = 2 * 1024 * 1024
+
+
+def _choose_bwd_blk_q(seq_len: int) -> int:
+    l128 = _round_up(seq_len, 128)
+    n_blocks = max(1, round(l128 / PACKED_BLK_Q_TARGET))
+    blk = _round_up(-(-l128 // n_blocks), 8)
+    cap = max(128, (_BWD_VMEM_SCORE_BYTES // (4 * l128)) // 8 * 8)
+    return min(blk, cap)
+
+
+def _flash_packed_bwd_kernelized(qkv, g, num_heads, scale, valid_len):
+    """dqkv for the standard packed attention via the Pallas backward."""
+    b, in_len, threew = qkv.shape
+    w = threew // 3
+    hd = w // num_heads
+    blk_q = _choose_bwd_blk_q(in_len)
+    l_pad = _round_up(in_len, blk_q)
+    if l_pad != in_len:
+        qkv = jnp.pad(qkv, ((0, 0), (0, l_pad - in_len), (0, 0)))
+        g = jnp.pad(g, ((0, 0), (0, l_pad - in_len), (0, 0)))
+    seq_len = valid_len if valid_len is not None else in_len
+
+    min_group = max(1, LANE // hd)
+    group = min_group
+    panel = group * hd
+    n_panels = num_heads // group
+    sec_panels = w // panel
+
+    kernel = functools.partial(_bwd_kernel_grouped, scale=scale,
+                               seq_len=seq_len, heads_per_block=group)
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=(b, n_panels, l_pad // blk_q),
+        in_specs=[
+            pl.BlockSpec((1, blk_q, panel),
+                         lambda bi, hi, j: (bi, j, 0 * sec_panels + hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l_pad, panel),
+                         lambda bi, hi, j: (bi, 0, 1 * sec_panels + hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l_pad, panel),
+                         lambda bi, hi, j: (bi, 0, 2 * sec_panels + hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk_q, panel),
+                         lambda bi, hi, j: (bi, j, hi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, blk_q, panel), lambda bi, hi, j: (bi, j, hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l_pad, panel), lambda bi, hi, j: (bi, 0, hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l_pad, panel), lambda bi, hi, j: (bi, 0, hi),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, l_pad, w), jnp.float32),
+            jax.ShapeDtypeStruct((b, l_pad, w), jnp.float32),
+            jax.ShapeDtypeStruct((b, l_pad, w), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * num_heads * l_pad * l_pad * hd,
+            bytes_accessed=2 * qkv.size * qkv.dtype.itemsize,
+            transcendentals=b * num_heads * l_pad * l_pad,
+        ),
+        interpret=INTERPRET,
+    )(qkv, qkv, qkv, g)
+    dqkv = jnp.concatenate([dq, dk, dv], axis=-1).astype(qkv.dtype)
+    return dqkv[:, :in_len, :]
+
+
 def _packed_reference(qkv, num_heads, scale, vv, valid_len=None):
     b, l, threew = qkv.shape
     w = threew // 3
@@ -338,6 +473,15 @@ def _packed_fwd(qkv, num_heads, scale, vv, valid_len):
 
 
 def _packed_bwd(num_heads, scale, vv, valid_len, qkv, g):
+    if not vv:
+        # Flash backward kernel: recomputes p per q-block, never
+        # materializes the (L, L) probabilities in HBM.
+        return (_flash_packed_bwd_kernelized(qkv, g, num_heads, scale,
+                                             valid_len),)
+    # v-v surgery path: gradients flow into the v columns three ways; the
+    # XLA recompute handles the shared-operand chain rule (this path is
+    # only differentiated if someone trains through the surgery tower,
+    # which the reference never does).
     _, vjp = jax.vjp(
         lambda t: _packed_reference(t, num_heads, scale, vv, valid_len), qkv)
     return vjp(g)
