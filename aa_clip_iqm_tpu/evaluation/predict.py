@@ -78,9 +78,11 @@ def predict_class(predict_fn, frozen, trainable, dataset, class_anchor,
     image logits are fetched) — on remote-attached accelerators the map
     fetch otherwise dominates eval wall-clock.
     """
+    from ..data.datasets import prefetch
+
     masks, labels, maps, image_scores, file_names = [], [], [], [], []
     anchor_b = jnp.broadcast_to(class_anchor[None], (batch_size,) + class_anchor.shape)
-    for batch in dataset.batches(batch_size, pad_to_batch=True):
+    for batch in prefetch(dataset.batches(batch_size, pad_to_batch=True)):
         n = batch["n_valid"]
         final_map, img_logit = predict_fn(
             frozen, trainable, jnp.asarray(batch["image"]), anchor_b)
