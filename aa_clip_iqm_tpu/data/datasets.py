@@ -57,6 +57,9 @@ def _load_image(path: str, img_size: int) -> np.ndarray:
     """RGB bicubic resize -> CHW float32 in [0,1] (native fast path when
     compiled; PIL parity verified in tests/test_native_pipeline.py)."""
     img = Image.open(path).convert("RGB")
+    if img.size == (img_size, img_size):
+        # already at target resolution: resampling is the identity
+        return np.asarray(img, np.float32).transpose(2, 0, 1) / 255.0
     if _use_native():
         return native_pipeline.resize_bicubic_rgb(np.asarray(img), img_size)
     arr = np.asarray(img.resize((img_size, img_size), Image.BICUBIC),

@@ -82,13 +82,16 @@ def load_frozen_backbone(cfg: ModelConfig, backbone_path: Optional[str] = None,
                 clip_mod.resize_pos_embed_np(pos, cfg.clip.vision.grid))
         return params
     # Per-resolution cache next to the .pt: the pos embed inside is already
-    # resized, and loading it skips the torch conversion entirely.
+    # resized, and loading it skips the torch conversion entirely. Only a
+    # cache at least as new as the .pt is trusted (replacing the checkpoint
+    # invalidates it), and cache_npz=False disables both read and write.
     cache = (os.path.splitext(path)[0]
              + f".{cfg.clip.vision.image_size}.npz")
-    if os.path.isfile(cache):
+    if (cache_npz and os.path.isfile(cache)
+            and os.path.getmtime(cache) >= os.path.getmtime(path)):
         return load_params_npz(cache)
     params = load_openai_checkpoint(path, cfg.clip)
-    if cache_npz and not os.path.exists(cache):
+    if cache_npz:
         try:
             save_params_npz(params, cache)
         except OSError:

@@ -54,8 +54,15 @@ def sdpa(q, k, v, scale, attn_mask=None):
 
 
 def _packed_pallas_ok(x, num_heads: int, attn_mask) -> bool:
+    import jax
+
     from . import pallas_attention as pa
 
+    # The Mosaic kernel only compiles on TPU; anywhere else (CPU smoke runs,
+    # GPU) silently fall back to the XLA path — unless tests force the
+    # interpreter. This makes use_pallas safe to leave on everywhere.
+    if not pa.INTERPRET and jax.default_backend() != "tpu":
+        return False
     l = x.shape[1]
     w = x.shape[-1]
     if attn_mask is not None or l < 2 * pa.BLK_Q or l > pa.ROW_KERNEL_MAX_TOKENS:

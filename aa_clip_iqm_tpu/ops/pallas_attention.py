@@ -226,17 +226,22 @@ PACKED_GROUP_HEADS = None  # None -> minimum legal (128 // head_dim)
 _VMEM_SCORE_BYTES = 4 * 1024 * 1024  # budget for the (blk_q, L) fp32 row
 
 
-def _choose_blk_q(seq_len: int) -> int:
+def _choose_blk(seq_len: int, score_budget_bytes: int) -> int:
     """Divide the 128-aligned sequence into equal q-blocks near the swept
-    optimum, capped so the fp32 score row fits the VMEM budget."""
+    optimum, capped so the fp32 score row fits the given VMEM budget.
+    PACKED_BLK_Q (when set) pins the block for forward *and* backward."""
     if PACKED_BLK_Q is not None:
         return PACKED_BLK_Q
     l128 = _round_up(seq_len, 128)
     n_blocks = max(1, round(l128 / PACKED_BLK_Q_TARGET))
     blk = -(-l128 // n_blocks)          # ceil
     blk = _round_up(blk, 8)
-    cap = max(128, (_VMEM_SCORE_BYTES // (4 * l128)) // 8 * 8)
+    cap = max(128, (score_budget_bytes // (4 * l128)) // 8 * 8)
     return min(blk, cap)
+
+
+def _choose_blk_q(seq_len: int) -> int:
+    return _choose_blk(seq_len, _VMEM_SCORE_BYTES)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
@@ -379,11 +384,7 @@ _BWD_VMEM_SCORE_BYTES = 2 * 1024 * 1024
 
 
 def _choose_bwd_blk_q(seq_len: int) -> int:
-    l128 = _round_up(seq_len, 128)
-    n_blocks = max(1, round(l128 / PACKED_BLK_Q_TARGET))
-    blk = _round_up(-(-l128 // n_blocks), 8)
-    cap = max(128, (_BWD_VMEM_SCORE_BYTES // (4 * l128)) // 8 * 8)
-    return min(blk, cap)
+    return _choose_blk(seq_len, _BWD_VMEM_SCORE_BYTES)
 
 
 def _flash_packed_bwd_kernelized(qkv, g, num_heads, scale, valid_len):
@@ -443,6 +444,10 @@ def _flash_packed_bwd_kernelized(qkv, g, num_heads, scale, valid_len):
         ),
         interpret=INTERPRET,
     )(qkv, qkv, qkv, g)
+    # dk/dv must accumulate in fp32 across q-blocks (bf16 += drifts), and a
+    # custom VJP must hand back ONE dqkv tensor, so this concat+cast costs
+    # one extra gradient round-trip (~4% of the step) — accepted for
+    # accumulation accuracy.
     dqkv = jnp.concatenate([dq, dk, dv], axis=-1).astype(qkv.dtype)
     return dqkv[:, :in_len, :]
 

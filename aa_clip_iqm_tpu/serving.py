@@ -38,6 +38,8 @@ class AnomalyDetector:
                  dataset: str, img_size: int = 518, adapted_text: bool = True,
                  compute_dtype=jnp.bfloat16, use_pallas: bool = True,
                  text_weight: float = 0.6, iqm_weight: float = 0.4):
+        # use_pallas is safe on any backend: the attention wrapper falls back
+        # to the XLA path off-TPU (ops/attention._packed_pallas_ok).
         self.frozen = frozen
         self.trainable = trainable
         self.cfg = model_cfg
@@ -99,8 +101,19 @@ class AnomalyDetector:
 
     def predict_paths(self, paths: Sequence[str],
                       class_name: str) -> Tuple[np.ndarray, np.ndarray]:
-        """Load, preprocess (bicubic + CLIP normalize) and predict."""
+        """Load, preprocess (bicubic + CLIP normalize) and predict.
+
+        Ragged request sizes are padded to a small bucket so each bucket
+        compiles once (ViT-L compiles are expensive); padding is sliced off.
+        """
+        n = len(paths)
         images = np.stack([
             normalize_clip(_load_image(p, self.img_size)) for p in paths
         ]).astype(np.float32)
-        return self.predict(images, class_name)
+        bucket = max(1, -(-n // 8) * 8) if n > 1 else 1
+        if bucket != n:
+            images = np.concatenate(
+                [images, np.zeros((bucket - n,) + images.shape[1:],
+                                  np.float32)], axis=0)
+        maps, scores = self.predict(images, class_name)
+        return maps[:n], scores[:n]
