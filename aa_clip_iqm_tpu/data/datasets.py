@@ -320,6 +320,10 @@ def get_dataset(dataset_name: str, img_size: int, training_mode: Optional[str],
                 shot: int = -1, stage: str = "train", logger=None,
                 metadata_root: Optional[str] = None, seed: int = 111):
     """Dispatcher with reference semantics (dataset/__init__.py:211-270)."""
+    if dataset_name not in DATA_PATH:
+        raise KeyError(
+            f"Dataset {dataset_name!r} not found; available: "
+            f"{sorted(DATA_PATH)}")
     if stage == "train":
         if training_mode == "few_shot" and shot <= 0:
             raise ValueError("shot should be positive in few_shot mode")

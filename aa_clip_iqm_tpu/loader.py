@@ -37,6 +37,12 @@ def build_model_config(model_name: str = "ViT-L-14-336", img_size: int = 518,
                        iqm_num_layers: int = 2, iqm_num_heads: int = 8,
                        surgery_until_layer: int = 20) -> ModelConfig:
     clip_cfg = get_model_config(model_name, img_size=img_size)
+    patch = clip_cfg.vision.patch_size
+    if img_size % patch:
+        raise ValueError(
+            f"img_size {img_size} must be a multiple of the patch size "
+            f"{patch} (e.g. {img_size // patch * patch} or "
+            f"{(img_size // patch + 1) * patch})")
     return ModelConfig(
         clip=clip_cfg,
         adapter=AdapterConfig(
