@@ -7,8 +7,9 @@ trainable adapter params as *separate pytrees*:
 
 Trainable pytree layout:
   {
-    "image_adapter": {"layer_adapters": [..], "seg_proj": [..], "det_proj": {..}},
-    "text_adapter":  {"layers": [..], "proj": {..}},
+    "image_adapter": {"layer_adapters": stacked {w}, "seg_proj": [..],
+                      "det_proj": {..}},
+    "text_adapter":  {"layers": stacked {w}, "proj": {..}},
     "iqm": {...},                       # models/iqm.py
     "class_query_mlp": {"fc1", "fc2"},
     "query_adapters": [..],
@@ -23,7 +24,6 @@ Trainable pytree layout:
 """
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 from typing import Any, List, Optional
 
@@ -37,21 +37,10 @@ from ..ops.layers import (
     leaky_relu,
     linear,
     simple_proj,
+    xavier_linear,
 )
 from . import clip as clip_model
 from . import iqm as iqm_model
-
-
-def _xavier_uniform(rng, d_in, d_out):
-    a = math.sqrt(6.0 / (d_in + d_out))
-    return jax.random.uniform(rng, (d_in, d_out), jnp.float32, -a, a)
-
-
-def _xavier_linear(rng, d_in, d_out, bias=True):
-    p = {"w": _xavier_uniform(rng, d_in, d_out)}
-    if bias:
-        p["b"] = jnp.zeros((d_out,))
-    return p
 
 
 def init_adapter_params(rng, cfg: ModelConfig):
@@ -70,38 +59,38 @@ def init_adapter_params(rng, cfg: ModelConfig):
         "image_adapter": {
             # Stacked (adapt_until, width, width) for lax.scan consumption.
             "layer_adapters": clip_model.stack_blocks([
-                _xavier_linear(next(keys), v_width, v_width, bias=False)
+                xavier_linear(next(keys), v_width, v_width, bias=False)
                 for _ in range(a.image_adapt_until)
             ]),
             "seg_proj": [
-                _xavier_linear(next(keys), v_width, out_dim, bias=False)
+                xavier_linear(next(keys), v_width, out_dim, bias=False)
                 for _ in range(n_levels)
             ],
-            "det_proj": _xavier_linear(next(keys), v_width, out_dim, bias=False),
+            "det_proj": xavier_linear(next(keys), v_width, out_dim, bias=False),
         },
         "text_adapter": {
             "layers": clip_model.stack_blocks([
-                _xavier_linear(next(keys), t_width, t_width, bias=False)
+                xavier_linear(next(keys), t_width, t_width, bias=False)
                 for _ in range(a.text_adapt_until)
             ]),
-            "proj": _xavier_linear(next(keys), t_width, t_width, bias=False),
+            "proj": xavier_linear(next(keys), t_width, t_width, bias=False),
         },
         "iqm": iqm_model.init_iqm_params(next(keys), cfg.iqm),
         "class_query_mlp": {
-            "fc1": _xavier_linear(next(keys), v_width, hidden),
-            "fc2": _xavier_linear(next(keys), hidden, hidden),
+            "fc1": xavier_linear(next(keys), v_width, hidden),
+            "fc2": xavier_linear(next(keys), hidden, hidden),
         },
         "query_adapters": [
-            _xavier_linear(next(keys), v_width, hidden, bias=False)
+            xavier_linear(next(keys), v_width, hidden, bias=False)
             for _ in range(n_levels)
         ],
         "pos_embedding": iqm_model.sinusoidal_positions(2, hidden),
-        "visual_feature_proj": _xavier_linear(next(keys), hidden, hidden),
-        "text_feature_proj": _xavier_linear(
+        "visual_feature_proj": xavier_linear(next(keys), hidden, hidden),
+        "text_feature_proj": xavier_linear(
             next(keys), cfg.iqm.text_encoder_hidden_size,
             cfg.iqm.text_encoder_hidden_size,
         ),
-        "query_proj": _xavier_linear(next(keys), hidden, out_dim),
+        "query_proj": xavier_linear(next(keys), hidden, out_dim),
         "iqm_layer_norm": {"scale": jnp.ones((hidden,)), "bias": jnp.zeros((hidden,))},
     }
     return params

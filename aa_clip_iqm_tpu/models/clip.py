@@ -5,13 +5,15 @@ model/transformer.py) as pure functions over explicit parameter pytrees:
 
   params = {
     "visual": {patch_embed, class_embedding, positional_embedding, ln_pre,
-               blocks: [block...], ln_post, proj},
-    "text":   {token_embedding, positional_embedding, blocks: [block...],
+               blocks, ln_post, proj},
+    "text":   {token_embedding, positional_embedding, blocks,
                ln_final, text_projection},
     "logit_scale": (),
   }
-  block = {ln_1, attn: {qkv: {w,b}, out: {w,b}}, ln_2,
-           mlp: {c_fc: {w,b}, c_proj: {w,b}}}
+  blocks = {ln_1, attn: {qkv: {w,b}, out: {w,b}}, ln_2,
+            mlp: {c_fc: {w,b}, c_proj: {w,b}}}
+  with every leaf STACKED on a leading layer axis (see stack_blocks) so
+  homogeneous layer ranges run under lax.scan.
 
 TPU-first choices vs the reference:
   - conv1 patchify (model/transformer.py:359-365) is a reshape + one matmul

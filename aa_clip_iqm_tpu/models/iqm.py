@@ -21,16 +21,11 @@ import jax.numpy as jnp
 
 from ..configs import IQMConfig
 from ..ops.attention import cross_attention
-from ..ops.layers import ACTIVATIONS, layer_norm, linear
-
-
-def _xavier_uniform(rng, d_in, d_out):
-    a = math.sqrt(6.0 / (d_in + d_out))
-    return jax.random.uniform(rng, (d_in, d_out), jnp.float32, -a, a)
+from ..ops.layers import ACTIVATIONS, layer_norm, linear, xavier_linear
 
 
 def _init_linear(rng, d_in, d_out):
-    return {"w": _xavier_uniform(rng, d_in, d_out), "b": jnp.zeros((d_out,))}
+    return xavier_linear(rng, d_in, d_out)
 
 
 def _init_ln(dim):

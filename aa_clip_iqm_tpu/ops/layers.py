@@ -36,6 +36,22 @@ def quick_gelu(x):
 ACTIVATIONS = {"gelu": gelu, "quick_gelu": quick_gelu}
 
 
+def xavier_uniform(rng, d_in: int, d_out: int):
+    """Xavier-uniform weight init (torch nn.init.xavier_uniform_ parity,
+    used for all adapter/IQM weights — model/adapter.py:107-123)."""
+    import math
+
+    a = math.sqrt(6.0 / (d_in + d_out))
+    return jax.random.uniform(rng, (d_in, d_out), jnp.float32, -a, a)
+
+
+def xavier_linear(rng, d_in: int, d_out: int, bias: bool = True):
+    p = {"w": xavier_uniform(rng, d_in, d_out)}
+    if bias:
+        p["b"] = jnp.zeros((d_out,))
+    return p
+
+
 def linear(params, x, precision=None):
     """y = x @ W + b. W stored (in, out)."""
     y = jnp.dot(x, params["w"].astype(x.dtype), precision=precision,

@@ -498,8 +498,10 @@ flash_mha_packed.defvjp(_packed_fwd, _packed_bwd)
 def flash_mha(q, k, v, scale: float, attn_mask=None):
     """(B, H, L, hd) fused attention. Falls back to the XLA path when an
     additive mask is supplied (the text tower's 77-token causal attention is
-    not worth a kernel) or when not running on TPU."""
-    if attn_mask is not None or q.shape[-2] < 2 * BLK_Q:
+    not worth a kernel), for short sequences, or off-TPU (Mosaic kernels only
+    compile on TPU; the interpreter flag overrides for tests)."""
+    on_tpu = INTERPRET or jax.default_backend() == "tpu"
+    if attn_mask is not None or q.shape[-2] < 2 * BLK_Q or not on_tpu:
         from .attention import sdpa
 
         return sdpa(q, k, v, scale, attn_mask)

@@ -106,11 +106,13 @@ class AnomalyDetector:
         Ragged request sizes are padded to a small bucket so each bucket
         compiles once (ViT-L compiles are expensive); padding is sliced off.
         """
+        from .evaluation.predict import _bucket
+
         n = len(paths)
         images = np.stack([
             normalize_clip(_load_image(p, self.img_size)) for p in paths
         ]).astype(np.float32)
-        bucket = max(1, -(-n // 8) * 8) if n > 1 else 1
+        bucket = _bucket(n, multiple=8) if n > 1 else 1
         if bucket != n:
             images = np.concatenate(
                 [images, np.zeros((bucket - n,) + images.shape[1:],

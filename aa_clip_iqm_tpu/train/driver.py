@@ -12,7 +12,6 @@ gradient psums over ICI).
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass
 from typing import Dict, Optional
 
 import jax.numpy as jnp
@@ -28,13 +27,6 @@ from . import optim, steps
 
 def _dtype(name: str):
     return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]
-
-
-@dataclass
-class TrainState:
-    trainable: dict
-    text_opt_state: object = None
-    image_opt_state: object = None
 
 
 def _pad_batch(batch, multiple: int):

@@ -151,7 +151,7 @@ def make_stage2_step(cfg: ModelConfig, train_cfg: TrainConfig,
     iqm_w = train_cfg.iqm_loss_weight
     det_w = train_cfg.det_loss_weight
 
-    remat = getattr(train_cfg, "remat", False)
+    remat = train_cfg.remat
 
     def loss_fn(trainable, frozen, images, masks, labels, anchors, weights):
         out = adapters_mod.encode_image_adapted(
