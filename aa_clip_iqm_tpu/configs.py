@@ -156,6 +156,9 @@ class TrainConfig:
     # Rematerialize transformer blocks in the stage-2 backward pass (memory
     # for FLOPs trade; useful for large image batches).
     remat: bool = False
+    # Keep only the last N numbered stage-2 checkpoints (0 = keep all, the
+    # reference's behavior of one file per epoch).
+    keep_checkpoints: int = 0
 
 
 @dataclass

@@ -69,11 +69,28 @@ def load_stage1(save_path: str, template_params, template_opt=None):
                       template_params, template_opt)
 
 
-def save_stage2(save_path: str, epoch: int, trainable, opt_state):
+def save_stage2(save_path: str, epoch: int, trainable, opt_state,
+                keep_last: int = 0):
     _save_pair(os.path.join(save_path, "image_adapter"), epoch, trainable,
                opt_state)
     _save_pair(os.path.join(save_path, f"image_adapter_{epoch}"), epoch,
                trainable, None)
+    if keep_last > 0:
+        prune_numbered(save_path, keep_last)
+
+
+def prune_numbered(save_path: str, keep_last: int):
+    """Delete all but the newest `keep_last` image_adapter_{N} directories."""
+    import shutil
+
+    numbered = []
+    for name in os.listdir(save_path):
+        m = re.fullmatch(r"image_adapter_(\d+)", name)
+        if m:
+            numbered.append((int(m.group(1)), name))
+    numbered.sort()
+    for _, name in numbered[:-keep_last]:
+        shutil.rmtree(os.path.join(save_path, name), ignore_errors=True)
 
 
 def load_stage2(save_path: str, template_params, template_opt=None,

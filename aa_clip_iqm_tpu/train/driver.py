@@ -179,7 +179,8 @@ def run_stage2(frozen, trainable, model_cfg: ModelConfig,
             losses.append(loss)
         mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
         logger.info("loss: %f (%.1fs)", mean_loss, time.time() - t0)
-        ckpt.save_stage2(train_cfg.save_path, epoch + 1, trainable, opt_state)
+        ckpt.save_stage2(train_cfg.save_path, epoch + 1, trainable, opt_state,
+                         keep_last=train_cfg.keep_checkpoints)
     return trainable
 
 

@@ -42,6 +42,7 @@ def build_parser():
     parser.add_argument("--image_batch_size", type=int, default=32)
     parser.add_argument("--seed", type=int, default=111)
     parser.add_argument("--save_path", type=str, default="ckpt/baseline")
+    parser.add_argument("--metadata_root", type=str, default=None)
     parser.add_argument("--visualize", action="store_true")
     parser.add_argument("--text_adapt_weight", type=float, default=0.1)
     parser.add_argument("--image_adapt_weight", type=float, default=0.1)
@@ -128,7 +129,7 @@ def main():
                                      args.dataset, adapted=adapt_text,
                                      compute_dtype=dtype)
     datasets = get_dataset(args.dataset, args.img_size, None, -1, "test",
-                           logger=logger)
+                           logger=logger, metadata_root=args.metadata_root)
 
     mesh = None
     if args.data_parallel and jax.device_count() > 1:

@@ -141,6 +141,27 @@ def test_few_shot_training_mode(synth, model, tmp_path):
                                       "image_adapter_1", "params"))
 
 
+def test_checkpoint_pruning(synth, model, tmp_path):
+    """keep_checkpoints retains only the newest N numbered stage-2 dirs."""
+    _, metadata_root = synth
+    cfg, frozen, trainable = model
+    save_path = str(tmp_path / "ckpt_prune")
+    train_cfg = TrainConfig(
+        dataset="Synth", img_size=IMG, training_mode="full_shot", shot=-1,
+        text_batch_size=4, image_batch_size=4, text_epoch=0, image_epoch=3,
+        save_path=save_path, compute_dtype="float32", keep_checkpoints=2,
+    )
+    run_training(frozen, trainable, cfg, train_cfg,
+                 logging.getLogger("test_prune"),
+                 metadata_root=metadata_root)
+    numbered = sorted(d for d in os.listdir(save_path)
+                      if d.startswith("image_adapter_"))
+    assert numbered == ["image_adapter_2", "image_adapter_3"]
+    # eval restore still finds the latest
+    restored = ckpt.load_stage2(save_path, trainable, latest_numbered=True)
+    assert restored["epoch"] == 3
+
+
 def test_zero_shot_predict_without_training(synth, model):
     """The inference path runs with freshly-initialized adapters (zero-shot
     plumbing; quality needs real CLIP weights)."""

@@ -49,6 +49,12 @@ def build_parser():
     # exp
     parser.add_argument("--seed", type=int, default=111)
     parser.add_argument("--save_path", type=str, default="ckpt/baseline")
+    parser.add_argument("--metadata_root", type=str, default=None,
+                        help="metadata tree root (default: packaged metadata "
+                        "or $AACLIP_METADATA_ROOT)")
+    parser.add_argument("--keep_checkpoints", type=int, default=0,
+                        help="keep only the last N numbered stage-2 "
+                        "checkpoints (0 = keep all, the reference behavior)")
     # hyper-parameters
     parser.add_argument("--text_norm_weight", type=float, default=0.1)
     parser.add_argument("--text_adapt_weight", type=float, default=0.1)
@@ -105,6 +111,7 @@ def main():
         iqm_loss_weight=args.iqm_weight, seed=args.seed,
         save_path=args.save_path, compute_dtype=args.compute_dtype,
         torch_lr_quirk=args.torch_lr_quirk, remat=args.remat,
+        keep_checkpoints=args.keep_checkpoints,
     )
     if args.debug_nans:
         from aa_clip_iqm_tpu.utils.profiling import enable_nan_checks
@@ -126,7 +133,8 @@ def main():
 
     with trace(args.profile_dir):
         run_training(frozen, trainable, model_cfg, train_cfg, logger,
-                     mesh=mesh, use_pallas=args.use_pallas)
+                     mesh=mesh, use_pallas=args.use_pallas,
+                     metadata_root=args.metadata_root)
 
 
 if __name__ == "__main__":
