@@ -46,6 +46,37 @@ class VisionConfig:
 
 
 @dataclass(frozen=True)
+class ResNetVisionConfig:
+    """ModifiedResNet vision tower (reference model/modified_resnet.py:132-217,
+    selected when the config's vision_cfg.layers is a list —
+    model/model.py:72-117 / model/clip.py:129-130)."""
+
+    image_size: int = 224
+    layers: Sequence[int] = (3, 4, 6, 3)
+    width: int = 64
+    output_dim: int = 1024
+    heads: Optional[int] = None  # None -> width * 32 // 64 (CLIP convention)
+
+    @property
+    def num_heads(self) -> int:
+        return self.heads if self.heads is not None else self.width * 32 // 64
+
+    @property
+    def reduction(self) -> int:
+        # stem /4 then a stride-2 entry into each stage after the first
+        return 4 * 2 ** (len(self.layers) - 1)
+
+    @property
+    def grid(self) -> int:
+        return self.image_size // self.reduction
+
+    @property
+    def final_channels(self) -> int:
+        # last stage planes = width * 2^(stages-1), bottleneck expansion 4
+        return self.width * (2 ** (len(self.layers) - 1)) * 4
+
+
+@dataclass(frozen=True)
 class TextConfig:
     context_length: int = 77
     vocab_size: int = 49408
@@ -204,16 +235,26 @@ def get_model_config(model_name: str, img_size: Optional[int] = None) -> CLIPCon
     with open(path) as f:
         raw = json.load(f)
     v, t = raw["vision_cfg"], raw["text_cfg"]
-    vision = VisionConfig(
-        image_size=img_size or v["image_size"],
-        patch_size=v["patch_size"],
-        width=v["width"],
-        layers=v["layers"],
-        head_width=v.get("head_width", 64),
-        mlp_ratio=v.get("mlp_ratio", 4.0),
-        output_dim=raw["embed_dim"],
-        patch_dropout=v.get("patch_dropout", 0.0),
-    )
+    if isinstance(v["layers"], (list, tuple)):
+        # List-typed layers selects the ModifiedResNet tower, the same
+        # dispatch the reference uses (model/model.py:74-88).
+        vision = ResNetVisionConfig(
+            image_size=img_size or v["image_size"],
+            layers=tuple(v["layers"]),
+            width=v["width"],
+            output_dim=raw["embed_dim"],
+        )
+    else:
+        vision = VisionConfig(
+            image_size=img_size or v["image_size"],
+            patch_size=v["patch_size"],
+            width=v["width"],
+            layers=v["layers"],
+            head_width=v.get("head_width", 64),
+            mlp_ratio=v.get("mlp_ratio", 4.0),
+            output_dim=raw["embed_dim"],
+            patch_dropout=v.get("patch_dropout", 0.0),
+        )
     text = TextConfig(
         context_length=t["context_length"],
         vocab_size=t["vocab_size"],

@@ -35,8 +35,27 @@ def build_model_config(model_name: str = "ViT-L-14-336", img_size: int = 518,
                        text_adapt_until: int = 3, image_adapt_until: int = 6,
                        levels=(6, 12, 18, 24), iqm_hidden_size: int = 512,
                        iqm_num_layers: int = 2, iqm_num_heads: int = 8,
-                       surgery_until_layer: int = 20) -> ModelConfig:
+                       surgery_until_layer: int = 20,
+                       patch_dropout: float = 0.0) -> ModelConfig:
     clip_cfg = get_model_config(model_name, img_size=img_size)
+    from .configs import ResNetVisionConfig
+
+    if isinstance(clip_cfg.vision, ResNetVisionConfig):
+        # ModifiedResNet backbone (model/clip.py:129-130): backbone-only —
+        # the AA-CLIP adaptation layer taps ViT blocks (model/adapter.py),
+        # so RN configs serve encode_image/encode_text, not AdaptedCLIP.
+        red = clip_cfg.vision.reduction
+        if img_size % red:
+            raise ValueError(
+                f"img_size {img_size} must be a multiple of the ResNet "
+                f"reduction {red} (e.g. {img_size // red * red})")
+        return ModelConfig(clip=clip_cfg)
+    if patch_dropout:
+        import dataclasses
+
+        clip_cfg = dataclasses.replace(
+            clip_cfg, vision=dataclasses.replace(
+                clip_cfg.vision, patch_dropout=patch_dropout))
     patch = clip_cfg.vision.patch_size
     if img_size % patch:
         raise ValueError(
@@ -78,13 +97,18 @@ def load_frozen_backbone(cfg: ModelConfig, backbone_path: Optional[str] = None,
         return clip_mod.init_clip_params(jax.random.PRNGKey(seed), cfg.clip)
     if path.endswith(".npz"):
         params = load_params_npz(path)
-        # npz caches store the native-resolution pos embed; resize if needed.
+        # npz caches store the native-resolution pos embed; resize if needed
+        # (ViT: visual.positional_embedding; RN: attnpool.positional_embedding).
         import numpy as np
 
-        pos = np.asarray(params["visual"]["positional_embedding"])
-        want = cfg.clip.vision.num_patches + 1
+        vis = params["visual"]
+        holder, key = ((vis, "positional_embedding")
+                       if "positional_embedding" in vis
+                       else (vis["attnpool"], "positional_embedding"))
+        pos = np.asarray(holder[key])
+        want = cfg.clip.vision.grid ** 2 + 1
         if pos.shape[0] != want:
-            params["visual"]["positional_embedding"] = jax.numpy.asarray(
+            holder[key] = jax.numpy.asarray(
                 clip_mod.resize_pos_embed_np(pos, cfg.clip.vision.grid))
         return params
     # Per-resolution cache next to the .pt: the pos embed inside is already

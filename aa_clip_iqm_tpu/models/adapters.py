@@ -46,6 +46,14 @@ from . import iqm as iqm_model
 def init_adapter_params(rng, cfg: ModelConfig):
     """Initialize the full trainable pytree (xavier-uniform weights, matching
     AdaptedCLIP._init_weights_, model/adapter.py:107-123)."""
+    from ..configs import ResNetVisionConfig
+
+    if isinstance(cfg.clip.vision, ResNetVisionConfig):
+        # Same scope as the reference: AdaptedCLIP taps ViT resblocks
+        # (model/adapter.py:161-172); RN backbones are encode-only.
+        raise ValueError(
+            "AdaptedCLIP requires a ViT vision tower; ModifiedResNet "
+            "configs support encode_image/encode_text only")
     a = cfg.adapter
     v_width = cfg.clip.vision.width
     t_width = cfg.clip.text.width
@@ -102,25 +110,41 @@ class AdaptedOutputs:
     det_token: Any               # (B, embed_dim), L2-normalized + mean-pooled
     iqm_queries: Optional[Any]   # (B, 2, iqm_hidden) or None
     cls_raw: Any                 # (B, width) final-block CLS (pre ln_post)
+    keep_idx: Optional[Any] = None  # (B, K) patch-dropout kept indices
 
 
 def encode_image_adapted(frozen, trainable, cfg: ModelConfig, images,
                          text_anchors=None, compute_dtype=jnp.float32,
                          use_pallas: bool = False,
-                         remat: bool = False) -> AdaptedOutputs:
+                         remat: bool = False,
+                         patch_drop_rng=None) -> AdaptedOutputs:
     """AdaptedCLIP.forward (model/adapter.py:137-271), functional.
 
     text_anchors: (B, embed_dim, 2) per-sample anchors, or None to skip IQM.
+    patch_drop_rng: PRNG key enabling patch dropout at the configured rate
+        (cfg.clip.vision.patch_dropout) — the explicit training switch for
+        the reference's never-active PatchDropout (model/model.py:29, survey
+        Q5). None (eval / default) keeps every token; when active, seg_tokens
+        carry K < L tokens and keep_idx maps them back to grid cells.
     """
     a = cfg.adapter
     vis = frozen["visual"]
     ia = trainable["image_adapter"]
+
+    keep_idx = None
+    rate = cfg.clip.vision.patch_dropout
+    if patch_drop_rng is not None and rate > 0.0:
+        from ..ops.layers import patch_dropout_indices
+
+        keep_idx = patch_dropout_indices(
+            patch_drop_rng, images.shape[0], cfg.clip.vision.num_patches, rate)
 
     _, taps, x_final = clip_model.vision_forward(
         vis, cfg.clip.vision, images, out_layers=tuple(a.levels),
         act_name=cfg.clip.act, adapters=ia["layer_adapters"],
         adapter_weight=a.image_adapt_weight, adapt_until=a.image_adapt_until,
         compute_dtype=compute_dtype, use_pallas=use_pallas, remat=remat,
+        keep_idx=keep_idx,
     )
 
     # Patch tokens (CLS dropped) -> frozen ln_post (model/adapter.py:172-176).
@@ -138,7 +162,8 @@ def encode_image_adapted(frozen, trainable, cfg: ModelConfig, images,
         iqm_queries = _iqm_branch(trainable, cfg, tokens, x_final, text_anchors)
 
     return AdaptedOutputs(seg_tokens=seg_tokens, det_token=det_token,
-                          iqm_queries=iqm_queries, cls_raw=x_final[:, 0])
+                          iqm_queries=iqm_queries, cls_raw=x_final[:, 0],
+                          keep_idx=keep_idx)
 
 
 def _iqm_branch(trainable, cfg: ModelConfig, tokens, x_final, text_anchors):

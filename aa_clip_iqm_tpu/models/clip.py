@@ -130,9 +130,17 @@ def init_text_params(rng, cfg: TextConfig):
 
 
 def init_clip_params(rng, cfg: CLIPConfig):
+    from ..configs import ResNetVisionConfig
+
     kv, kt = jax.random.split(rng)
+    if isinstance(cfg.vision, ResNetVisionConfig):
+        from .modified_resnet import init_resnet_params
+
+        visual = init_resnet_params(kv, cfg.vision)
+    else:
+        visual = init_vision_params(kv, cfg.vision)
     return {
-        "visual": init_vision_params(kv, cfg.vision),
+        "visual": visual,
         "text": init_text_params(kt, cfg.text),
         "logit_scale": jnp.asarray(math.log(1 / 0.07), jnp.float32),
     }
@@ -233,6 +241,7 @@ def vision_forward(
     compute_dtype=jnp.float32,
     use_pallas: bool = False,
     remat: bool = False,
+    keep_idx=None,
 ):
     """ViT forward with multi-depth taps, scanned in homogeneous segments.
 
@@ -244,6 +253,11 @@ def vision_forward(
         (surgery). DAPM_replace(DPAM_layer=k) == vv_from = layers - (k - 1).
       adapters: stacked SimpleAdapter params (adapt_until, width, width)
         applied after blocks [0, adapt_until) with the norm-preserving blend.
+      keep_idx: optional (B, K) int32 patch-dropout kept-token indices
+        (ops.layers.patch_dropout_indices); applied after the positional
+        embedding, before ln_pre — the reference PatchDropout call site
+        (model/transformer.py:62-99, applied in VisionTransformer.forward).
+        CLS is always kept; taps then carry K+1 tokens.
 
     Returns: (pooled (B, output_dim), taps list of (B, L+1, width), final x).
     """
@@ -253,6 +267,9 @@ def vision_forward(
     cls = jnp.broadcast_to(cls, (b, 1, cfg.width))
     x = jnp.concatenate([cls, x], axis=1)
     x = x + params["positional_embedding"].astype(compute_dtype)
+    if keep_idx is not None:
+        kept = jnp.take_along_axis(x[:, 1:], keep_idx[..., None], axis=1)
+        x = jnp.concatenate([x[:, :1], kept], axis=1)
     x = layer_norm(params["ln_pre"], x)
 
     # Tower-wide token padding (opt-in, PREPAD_TOKENS): pad once to the
@@ -338,6 +355,27 @@ def text_forward(
         return jnp.dot(pooled, params["text_projection"].astype(pooled.dtype),
                        preferred_element_type=jnp.float32).astype(x.dtype)
     return final_proj(pooled)
+
+
+def encode_image(params, cfg: CLIPConfig, images, compute_dtype=jnp.float32,
+                 use_pallas: bool = False):
+    """CLIP.encode_image (model/model.py:185-188): pooled image embedding
+    from either tower — ViT, or ModifiedResNet when cfg.vision is a
+    ResNetVisionConfig (the reference's build dispatch, model/model.py:72-117,
+    model/clip.py:129-130)."""
+    from ..configs import ResNetVisionConfig
+
+    if isinstance(cfg.vision, ResNetVisionConfig):
+        from .modified_resnet import resnet_forward
+
+        pooled, _ = resnet_forward(params["visual"], cfg.vision, images,
+                                   compute_dtype=compute_dtype)
+        return pooled
+    pooled, _, _ = vision_forward(params["visual"], cfg.vision, images,
+                                  act_name=cfg.act,
+                                  compute_dtype=compute_dtype,
+                                  use_pallas=use_pallas)
+    return pooled
 
 
 def dual_vision_features(

@@ -58,10 +58,105 @@ def _block(sd, prefix):
     }
 
 
+def _stack_np(blocks):
+    import jax
+
+    return jax.tree.map(lambda *xs: np.stack(xs, axis=0), *blocks)
+
+
+def _text_tree(sd, cfg: CLIPConfig):
+    return {
+        "token_embedding": np.asarray(sd["token_embedding.weight"], np.float32),
+        "positional_embedding": np.asarray(sd["positional_embedding"], np.float32),
+        "blocks": _stack_np([_block(sd, f"transformer.resblocks.{i}")
+                             for i in range(cfg.text.layers)]),
+        "ln_final": _ln(sd, "ln_final"),
+        "text_projection": np.asarray(sd["text_projection"], np.float32),
+    }
+
+
+def _conv_t(w):
+    """torch conv kernel (out, in, kh, kw) -> HWIO."""
+    return np.ascontiguousarray(
+        np.asarray(w, np.float32).transpose(2, 3, 1, 0))
+
+
+def _bn_t(sd, prefix):
+    return {"scale": np.asarray(sd[prefix + ".weight"], np.float32),
+            "bias": np.asarray(sd[prefix + ".bias"], np.float32),
+            "mean": np.asarray(sd[prefix + ".running_mean"], np.float32),
+            "var": np.asarray(sd[prefix + ".running_var"], np.float32)}
+
+
+def _lin_t(sd, prefix):
+    p = {"w": _t(sd[prefix + ".weight"])}
+    if prefix + ".bias" in sd:
+        p["b"] = np.asarray(sd[prefix + ".bias"], np.float32)
+    return p
+
+
+def resnet_state_dict_to_params(sd: Dict[str, "np.ndarray"], cfg: CLIPConfig):
+    """Map an OpenAI RN-style CLIP state dict into our ModifiedResNet pytree
+    (reference tower: model/modified_resnet.py:132-217; torch key layout:
+    visual.conv{1-3}/bn{1-3} stem, visual.layer{1-4}.{i}.conv*/bn*/
+    downsample.{0,1}, visual.attnpool.{q,k,v,c}_proj + positional_embedding).
+    The attnpool positional embedding is bicubic-resized for non-native
+    image sizes, like the ViT path."""
+    v = cfg.vision  # ResNetVisionConfig
+    visual = {}
+    for i in (1, 2, 3):
+        visual[f"conv{i}"] = {"kernel": _conv_t(sd[f"visual.conv{i}.weight"])}
+        visual[f"bn{i}"] = _bn_t(sd, f"visual.bn{i}")
+    stages = []
+    for s, n_blocks in enumerate(v.layers, start=1):
+        blocks = []
+        for bi in range(n_blocks):
+            pre = f"visual.layer{s}.{bi}"
+            blk = {
+                "conv1": {"kernel": _conv_t(sd[pre + ".conv1.weight"])},
+                "bn1": _bn_t(sd, pre + ".bn1"),
+                "conv2": {"kernel": _conv_t(sd[pre + ".conv2.weight"])},
+                "bn2": _bn_t(sd, pre + ".bn2"),
+                "conv3": {"kernel": _conv_t(sd[pre + ".conv3.weight"])},
+                "bn3": _bn_t(sd, pre + ".bn3"),
+            }
+            if pre + ".downsample.0.weight" in sd:
+                blk["downsample"] = {
+                    "conv": {"kernel": _conv_t(sd[pre + ".downsample.0.weight"])},
+                    "bn": _bn_t(sd, pre + ".downsample.1"),
+                }
+            blocks.append(blk)
+        stages.append(blocks)
+    visual["layers"] = stages
+
+    pos = np.asarray(sd["visual.attnpool.positional_embedding"], np.float32)
+    pos = resize_pos_embed_np(pos, v.grid)
+    visual["attnpool"] = {
+        "positional_embedding": pos,
+        "q": _lin_t(sd, "visual.attnpool.q_proj"),
+        "k": _lin_t(sd, "visual.attnpool.k_proj"),
+        "v": _lin_t(sd, "visual.attnpool.v_proj"),
+        "c_proj": _lin_t(sd, "visual.attnpool.c_proj"),
+    }
+    params = {
+        "visual": visual,
+        "text": _text_tree(sd, cfg),
+        "logit_scale": np.asarray(sd.get("logit_scale", np.log(1 / 0.07)),
+                                  np.float32),
+    }
+    return _to_jax(params)
+
+
 def torch_state_dict_to_params(sd: Dict[str, "np.ndarray"], cfg: CLIPConfig):
     """Map an OpenAI CLIP state dict (numpy-valued) into our pytree, resizing
-    the visual positional embedding to cfg.vision.image_size."""
+    the visual positional embedding to cfg.vision.image_size. Dispatches to
+    the ModifiedResNet mapping for RN configs (list-typed vision layers,
+    model/clip.py:129-130)."""
     sd = {k: np.asarray(v) for k, v in sd.items()}
+    from ..configs import ResNetVisionConfig
+
+    if isinstance(cfg.vision, ResNetVisionConfig):
+        return resnet_state_dict_to_params(sd, cfg)
 
     n_vis = cfg.vision.layers
     conv_w = np.asarray(sd["visual.conv1.weight"], np.float32)
@@ -71,32 +166,19 @@ def torch_state_dict_to_params(sd: Dict[str, "np.ndarray"], cfg: CLIPConfig):
     pos = np.asarray(sd["visual.positional_embedding"], np.float32)
     pos = resize_pos_embed_np(pos, cfg.vision.grid)
 
-    def stack_np(blocks):
-        import jax
-
-        return jax.tree.map(lambda *xs: np.stack(xs, axis=0), *blocks)
-
     visual = {
         "patch_embed": {"w": patch_embed_w},
         "class_embedding": np.asarray(sd["visual.class_embedding"], np.float32),
         "positional_embedding": pos,
         "ln_pre": _ln(sd, "visual.ln_pre"),
-        "blocks": stack_np([_block(sd, f"visual.transformer.resblocks.{i}")
-                            for i in range(n_vis)]),
+        "blocks": _stack_np([_block(sd, f"visual.transformer.resblocks.{i}")
+                             for i in range(n_vis)]),
         "ln_post": _ln(sd, "visual.ln_post"),
         "proj": np.asarray(sd["visual.proj"], np.float32),
     }
-    text = {
-        "token_embedding": np.asarray(sd["token_embedding.weight"], np.float32),
-        "positional_embedding": np.asarray(sd["positional_embedding"], np.float32),
-        "blocks": stack_np([_block(sd, f"transformer.resblocks.{i}")
-                            for i in range(cfg.text.layers)]),
-        "ln_final": _ln(sd, "ln_final"),
-        "text_projection": np.asarray(sd["text_projection"], np.float32),
-    }
     params = {
         "visual": visual,
-        "text": text,
+        "text": _text_tree(sd, cfg),
         "logit_scale": np.asarray(sd.get("logit_scale", np.log(1 / 0.07)),
                                   np.float32),
     }

@@ -13,11 +13,10 @@ model/modified_resnet.py:8-44).
 """
 from __future__ import annotations
 
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 
+from ..configs import ResNetVisionConfig
 from ..ops.attention import sdpa
 from ..ops.layers import linear
 
@@ -91,7 +90,8 @@ def attention_pool_forward(params, x, num_heads: int):
     return linear(params["c_proj"], out)[:, 0]
 
 
-def resnet_forward(params, cfg, images, compute_dtype=jnp.float32):
+def resnet_forward(params, cfg: ResNetVisionConfig, images,
+                   compute_dtype=jnp.float32):
     """Full ModifiedResNet: 3-conv stem (stride-2 first conv + avgpool),
     4 stages, attention pooling. Returns (pooled (B, output_dim), stage
     feature maps [(B, C, H, W)] for dense heads)."""
@@ -110,14 +110,14 @@ def resnet_forward(params, cfg, images, compute_dtype=jnp.float32):
             x = bottleneck_forward(block, x, stride=stride)
         features.append(x)
 
-    pooled = attention_pool_forward(params["attnpool"], x, cfg["heads"])
+    pooled = attention_pool_forward(params["attnpool"], x, cfg.num_heads)
     return pooled, features
 
 
-def init_resnet_params(rng, layers: Sequence[int] = (3, 4, 6, 3),
-                       width: int = 64, output_dim: int = 1024,
-                       heads: int = 32, image_size: int = 224):
+def init_resnet_params(rng, cfg: ResNetVisionConfig):
     """Random init with the reference's architecture shape (RN50 default)."""
+    layers, width = cfg.layers, cfg.width
+    output_dim, image_size = cfg.output_dim, cfg.image_size
     keys = jax.random.split(rng, 256)
     ki = iter(range(256))
 
@@ -159,7 +159,7 @@ def init_resnet_params(rng, layers: Sequence[int] = (3, 4, 6, 3),
     params["layers"] = stages
 
     embed_dim = cin
-    spatial = image_size // 32
+    spatial = cfg.grid
     params["attnpool"] = {
         "positional_embedding": jax.random.normal(
             keys[next(ki)], (spatial * spatial + 1, embed_dim)) * embed_dim ** -0.5,
@@ -173,4 +173,4 @@ def init_resnet_params(rng, layers: Sequence[int] = (3, 4, 6, 3),
                                           (embed_dim, output_dim)) * 0.02,
                    "b": jnp.zeros((output_dim,))},
     }
-    return params, {"heads": heads, "output_dim": output_dim}
+    return params

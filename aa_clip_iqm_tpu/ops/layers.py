@@ -104,14 +104,31 @@ def mlp_block(params, x, act):
     return linear(params["c_proj"], h)
 
 
+def patch_dropout_indices(rng, batch: int, num_tokens: int, rate: float):
+    """Per-sample kept-token indices for patch dropout: keep
+    max(1, int(L*(1-rate))) of L tokens, uniformly without replacement
+    (reference PatchDropout, model/transformer.py:62-99).
+
+    Returns (B, K) int32, sorted ascending so the kept tokens preserve their
+    spatial order (the reference's torch.topk-of-randn selection is unordered;
+    order is irrelevant to attention, and sorted indices let the stage-2 loss
+    gather matching mask cells). K is static under jit.
+    """
+    keep = max(1, int(num_tokens * (1.0 - rate)))
+    scores = jax.random.normal(rng, (batch, num_tokens))
+    _, idx = jax.lax.top_k(scores, keep)
+    return jnp.sort(idx, axis=-1).astype(jnp.int32)
+
+
 def patch_dropout(rng, x, rate: float, exclude_first: bool = True):
     """Randomly keep max(1, int(L*(1-rate))) tokens per sample
     (reference PatchDropout, model/transformer.py:62-99; CLS excluded).
 
     NOTE: the reference *configures* rate 0.2 (model/model.py:29) but holds
     the model in eval() throughout training (survey Q5), so this never runs
-    in the live pipeline. Provided as an opt-in training regularizer; the
-    kept count is static under jit.
+    in the live pipeline. Wired into stage 2 as an opt-in training
+    regularizer (configs.VisionConfig.patch_dropout); the kept count is
+    static under jit.
     """
     if rate <= 0.0:
         return x
@@ -120,9 +137,7 @@ def patch_dropout(rng, x, rate: float, exclude_first: bool = True):
     else:
         cls, tokens = None, x
     b, l, _ = tokens.shape
-    keep = max(1, int(l * (1.0 - rate)))
-    scores = jax.random.normal(rng, (b, l))
-    _, idx = jax.lax.top_k(scores, keep)
+    idx = patch_dropout_indices(rng, b, l, rate)
     kept = jnp.take_along_axis(tokens, idx[..., None], axis=1)
     if cls is not None:
         kept = jnp.concatenate([cls, kept], axis=1)

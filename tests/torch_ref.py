@@ -67,6 +67,129 @@ def make_clip_state_dict(rng, v_layers=3, v_width=64, v_patch=14, v_grid=4,
     return sd
 
 
+def make_rn_state_dict(rng, layers=(1, 1, 1, 1), width=16, embed_dim=32,
+                       image_size=64, t_layers=2, t_width=32, vocab=1000):
+    """Random OpenAI-style RN CLIP state dict (torch key layout: stem
+    conv{1-3}/bn{1-3}, layer{s}.{i}.conv*/bn*/downsample.{0,1}, attnpool)."""
+    def r(*shape, s=0.05):
+        return (rng.standard_normal(shape) * s).astype(np.float32)
+
+    def bn(prefix, c, sd):
+        sd[prefix + ".weight"] = 1 + r(c)
+        sd[prefix + ".bias"] = r(c)
+        sd[prefix + ".running_mean"] = r(c, s=0.1)
+        sd[prefix + ".running_var"] = (1.0 + rng.random(c)).astype(np.float32)
+
+    sd = {}
+    half = width // 2
+    sd["visual.conv1.weight"] = r(half, 3, 3, 3)
+    bn("visual.bn1", half, sd)
+    sd["visual.conv2.weight"] = r(half, half, 3, 3)
+    bn("visual.bn2", half, sd)
+    sd["visual.conv3.weight"] = r(width, half, 3, 3)
+    bn("visual.bn3", width, sd)
+
+    cin = width
+    for s, n_blocks in enumerate(layers, start=1):
+        planes = width * (2 ** (s - 1))
+        for i in range(n_blocks):
+            pre = f"visual.layer{s}.{i}"
+            sd[pre + ".conv1.weight"] = r(planes, cin, 1, 1)
+            bn(pre + ".bn1", planes, sd)
+            sd[pre + ".conv2.weight"] = r(planes, planes, 3, 3)
+            bn(pre + ".bn2", planes, sd)
+            sd[pre + ".conv3.weight"] = r(planes * 4, planes, 1, 1)
+            bn(pre + ".bn3", planes * 4, sd)
+            if i == 0 and (cin != planes * 4 or s > 1):
+                sd[pre + ".downsample.0.weight"] = r(planes * 4, cin, 1, 1)
+                bn(pre + ".downsample.1", planes * 4, sd)
+            cin = planes * 4
+
+    spatial = image_size // (4 * 2 ** (len(layers) - 1))
+    sd["visual.attnpool.positional_embedding"] = r(spatial * spatial + 1, cin)
+    for name in ("q_proj", "k_proj", "v_proj"):
+        sd[f"visual.attnpool.{name}.weight"] = r(cin, cin)
+        sd[f"visual.attnpool.{name}.bias"] = r(cin)
+    sd["visual.attnpool.c_proj.weight"] = r(embed_dim, cin)
+    sd["visual.attnpool.c_proj.bias"] = r(embed_dim)
+
+    text = make_clip_state_dict(rng, v_layers=0, v_width=8, v_grid=1,
+                                t_layers=t_layers, t_width=t_width,
+                                vocab=vocab, embed_dim=embed_dim)
+    for k, v in text.items():
+        if not k.startswith("visual."):
+            sd[k] = v
+    return sd
+
+
+def _rn_conv(sd, name, x, stride=1, padding=0):
+    return F.conv2d(x, torch.from_numpy(sd[name + ".weight"]), stride=stride,
+                    padding=padding)
+
+
+def _rn_bn(sd, name, x):
+    return F.batch_norm(
+        x, torch.from_numpy(sd[name + ".running_mean"]),
+        torch.from_numpy(sd[name + ".running_var"]),
+        torch.from_numpy(sd[name + ".weight"]),
+        torch.from_numpy(sd[name + ".bias"]), training=False)
+
+
+def _rn_bottleneck(sd, pre, x, stride):
+    out = F.relu(_rn_bn(sd, pre + ".bn1", _rn_conv(sd, pre + ".conv1", x)))
+    out = F.relu(_rn_bn(sd, pre + ".bn2",
+                        _rn_conv(sd, pre + ".conv2", out, padding=1)))
+    if stride > 1:
+        out = F.avg_pool2d(out, stride)
+    out = _rn_bn(sd, pre + ".bn3", _rn_conv(sd, pre + ".conv3", out))
+    identity = x
+    if pre + ".downsample.0.weight" in sd:
+        if stride > 1:
+            identity = F.avg_pool2d(identity, stride)
+        identity = _rn_bn(sd, pre + ".downsample.1",
+                          _rn_conv(sd, pre + ".downsample.0", identity))
+    return F.relu(out + identity)
+
+
+def torch_rn_forward(sd, images, layers, heads):
+    """ModifiedResNet forward (reference model/modified_resnet.py:132-217):
+    3-conv stem + avgpool, bottleneck stages with anti-aliased striding,
+    attention pooling (query-at-mean-token, :95-129)."""
+    x = torch.from_numpy(images)
+    for i, stride in zip((1, 2, 3), (2, 1, 1)):
+        x = F.relu(_rn_bn(sd, f"visual.bn{i}",
+                          _rn_conv(sd, f"visual.conv{i}", x, stride=stride,
+                                   padding=1)))
+    x = F.avg_pool2d(x, 2)
+    for s in range(1, len(layers) + 1):
+        for i in range(layers[s - 1]):
+            stride = 2 if (s > 1 and i == 0) else 1
+            x = _rn_bottleneck(sd, f"visual.layer{s}.{i}", x, stride)
+
+    b, c, h, w = x.shape
+    tokens = x.reshape(b, c, h * w).permute(0, 2, 1)
+    tokens = torch.cat([tokens.mean(dim=1, keepdim=True), tokens], dim=1)
+    tokens = tokens + torch.from_numpy(
+        sd["visual.attnpool.positional_embedding"])
+
+    def proj(name, t):
+        return t @ torch.from_numpy(sd[f"visual.attnpool.{name}.weight"]).T + \
+            torch.from_numpy(sd[f"visual.attnpool.{name}.bias"])
+
+    q = proj("q_proj", tokens[:, :1])
+    k = proj("k_proj", tokens)
+    v = proj("v_proj", tokens)
+    hd = c // heads
+
+    def split(t):
+        return t.reshape(b, t.shape[1], heads, hd).permute(0, 2, 1, 3)
+
+    attn = torch.softmax(split(q) @ split(k).transpose(-2, -1) * hd ** -0.5,
+                         dim=-1)
+    out = (attn @ split(v)).permute(0, 2, 1, 3).reshape(b, 1, c)
+    return proj("c_proj", out)[:, 0]
+
+
 def _ln(x, sd, prefix):
     d = x.shape[-1]
     return F.layer_norm(x, (d,), torch.from_numpy(sd[prefix + ".weight"]),
