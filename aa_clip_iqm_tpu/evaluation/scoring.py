@@ -81,16 +81,34 @@ def iqm_score_map(patch_features, queries_projected, img_size: int,
     return resize_bilinear(grid, img_size, img_size, align_corners=align_corners)
 
 
-def iqm_train_map(patch_features, queries_projected, img_size: int):
-    """Two-channel (1-p, p) IQM map for the stage-2 segmentation loss
-    (train.py:198-209); align_corners=False upsample."""
+def iqm_patch_pred(patch_features, queries_projected):
+    """Per-patch IQM anomaly probability sigmoid(cos(f, q_abn) - cos(f, q_nrm))
+    (train.py:198-209). Returns (B, L)."""
     f = l2_normalize(patch_features.astype(jnp.float32))
     q = l2_normalize(queries_projected.astype(jnp.float32))
     sims = jnp.einsum("bld,bqd->blq", f, q, preferred_element_type=jnp.float32)
-    pred = jax.nn.sigmoid(sims[..., 1] - sims[..., 0])      # (B, L)
+    return jax.nn.sigmoid(sims[..., 1] - sims[..., 0])
+
+
+def iqm_train_map(patch_features, queries_projected, img_size: int):
+    """Two-channel (1-p, p) IQM map for the stage-2 segmentation loss
+    (train.py:198-209); align_corners=False upsample."""
+    pred = iqm_patch_pred(patch_features, queries_projected)  # (B, L)
     grid = _to_grid(pred)[:, None]                           # (B,1,H,H)
     two_ch = jnp.concatenate([1.0 - grid, grid], axis=1)     # (B,2,H,H)
     return resize_bilinear(two_ch, img_size, img_size, align_corners=False)
+
+
+def mask_to_patch_cells(mask, patch_size: int):
+    """(B, 1, H, W) mask -> (B, L) per-patch-cell defect fraction, in the
+    row-major cell order of models.clip.patchify. Used by the patch-dropout
+    training path, where the seg loss runs at token resolution on kept cells
+    instead of upsampling to img_size."""
+    b = mask.shape[0]
+    m = mask.reshape(b, mask.shape[-2], mask.shape[-1]).astype(jnp.float32)
+    gh, gw = m.shape[1] // patch_size, m.shape[2] // patch_size
+    cells = m.reshape(b, gh, patch_size, gw, patch_size).mean(axis=(2, 4))
+    return cells.reshape(b, gh * gw)
 
 
 def fuse_maps(text_maps: Sequence, iqm_maps: Sequence,

@@ -62,6 +62,27 @@ def seg_loss(probs_2ch, mask, sample_weight=None):
     return loss
 
 
+def seg_loss_tokens(probs_2ch, cell_frac, sample_weight=None):
+    """Token-resolution segmentation composite for the patch-dropout path.
+
+    With patch dropout active the kept tokens no longer form a full grid, so
+    the upsample-to-img_size composite (seg_loss) cannot apply; instead the
+    same focal+dice combination runs directly on the kept cells against the
+    per-cell defect fraction (evaluation.scoring.mask_to_patch_cells).
+
+    probs_2ch: (B, 2, K) softmaxed (normal, abnormal); cell_frac: (B, K) in
+    [0, 1] — binarized at 0.5 for the focal target, used continuously for
+    the dice terms.
+    """
+    hard = (cell_frac >= 0.5).astype(jnp.int32)
+    loss = focal_loss(probs_2ch, hard, sample_weight=sample_weight)
+    loss += binary_dice_loss(probs_2ch[:, 0], 1.0 - cell_frac,
+                             sample_weight=sample_weight)
+    loss += binary_dice_loss(probs_2ch[:, 1], cell_frac,
+                             sample_weight=sample_weight)
+    return loss
+
+
 def cross_entropy_logits(logits, labels, sample_weight=None):
     """F.cross_entropy parity: mean over batch of -log_softmax[label]."""
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)

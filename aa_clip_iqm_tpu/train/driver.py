@@ -14,6 +14,7 @@ from __future__ import annotations
 import time
 from typing import Dict, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -158,6 +159,16 @@ def run_stage2(frozen, trainable, model_cfg: ModelConfig,
     step_fn = steps.make_stage2_step(
         model_cfg, train_cfg, tx, compute_dtype=dtype, use_pallas=use_pallas,
         mesh=mesh)
+    # The step donates its trainable/opt-state inputs (their HBM is reused
+    # for the outputs). Copy once up front so the *caller's* pytree stays
+    # alive; from step 2 on, donation consumes only buffers this loop owns.
+    trainable = jax.tree.map(
+        lambda x: x.copy() if isinstance(x, jax.Array) else x, trainable)
+    opt_state = jax.tree.map(
+        lambda x: x.copy() if isinstance(x, jax.Array) else x, opt_state)
+    patch_drop = model_cfg.clip.vision.patch_dropout > 0.0
+    if patch_drop:
+        drop_rng = jax.random.PRNGKey(train_cfg.seed)
 
     n_dev = 1 if mesh is None else mesh.devices.size
     for epoch in range(start_epoch, train_cfg.image_epoch):
@@ -172,10 +183,15 @@ def run_stage2(frozen, trainable, model_cfg: ModelConfig,
             weights = jnp.asarray(
                 (np.arange(batch["image"].shape[0]) < n_valid)
                 .astype(np.float32))
-            trainable, opt_state, loss = step_fn(
-                trainable, opt_state, frozen,
-                jnp.asarray(batch["image"]), jnp.asarray(batch["mask"]),
-                jnp.asarray(batch["label"]), anchor_stack, weights)
+            step_args = (trainable, opt_state, frozen,
+                         jnp.asarray(batch["image"]),
+                         jnp.asarray(batch["mask"]),
+                         jnp.asarray(batch["label"]), anchor_stack, weights)
+            if patch_drop:
+                drop_rng, key = jax.random.split(drop_rng)
+                trainable, opt_state, loss = step_fn(*step_args, key)
+            else:
+                trainable, opt_state, loss = step_fn(*step_args)
             losses.append(loss)
         mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
         logger.info("loss: %f (%.1fs)", mean_loss, time.time() - t0)

@@ -26,7 +26,7 @@ from ..configs import ModelConfig, TrainConfig
 from ..evaluation import scoring
 from ..models import adapters as adapters_mod
 from ..models import clip as clip_mod
-from ..ops.losses import cross_entropy_logits, seg_loss
+from ..ops.losses import cross_entropy_logits, seg_loss, seg_loss_tokens
 from ..prompts import anchors_from_flat_embeddings
 
 
@@ -143,20 +143,38 @@ def make_stage1_step(cfg: ModelConfig, train_cfg: TrainConfig, prompt_tokens,
 def make_stage2_step(cfg: ModelConfig, train_cfg: TrainConfig,
                      tx: optax.GradientTransformation,
                      compute_dtype=jnp.float32, use_pallas: bool = False,
-                     mesh=None, clip_grad_norm: Optional[float] = None):
+                     mesh=None, clip_grad_norm: Optional[float] = None,
+                     donate: bool = True):
     """Build jitted step(trainable, opt_state, frozen, images, masks, labels,
-    anchors) -> (trainable, opt_state, loss)."""
+    anchors, weights[, rng]) -> (trainable, opt_state, loss).
+
+    With donate=True (default) the trainable/opt-state buffers are donated:
+    the returned pytrees reuse the inputs' HBM, so callers must rebind
+    (``trainable, opt_state, _ = step(...)``) and not touch the old
+    references afterwards — the training loop's natural usage. Pass
+    donate=False to call the step repeatedly from the same initial state
+    (e.g. comparison tests).
+
+    When cfg.clip.vision.patch_dropout > 0 the step takes a trailing PRNG key
+    and trains on the kept tokens only: the seg losses then run at token
+    resolution against per-cell mask fractions (seg_loss_tokens) since the
+    kept tokens no longer form a full grid.
+    """
     img_size = train_cfg.img_size
     text_w = train_cfg.text_loss_weight
     iqm_w = train_cfg.iqm_loss_weight
     det_w = train_cfg.det_loss_weight
 
     remat = train_cfg.remat
+    patch_drop = cfg.clip.vision.patch_dropout > 0.0
+    patch_size = cfg.clip.vision.patch_size
 
-    def loss_fn(trainable, frozen, images, masks, labels, anchors, weights):
+    def loss_fn(trainable, frozen, images, masks, labels, anchors, weights,
+                rng):
         out = adapters_mod.encode_image_adapted(
             frozen, trainable, cfg, images, text_anchors=anchors,
             compute_dtype=compute_dtype, use_pallas=use_pallas, remat=remat,
+            patch_drop_rng=rng,
         )
         cls_logits = jnp.einsum("bd,bdc->bc",
                                 out.det_token.astype(jnp.float32),
@@ -164,20 +182,35 @@ def make_stage2_step(cfg: ModelConfig, train_cfg: TrainConfig,
         total = cross_entropy_logits(cls_logits, labels,
                                      sample_weight=weights) * det_w
 
+        q = adapters_mod.project_queries(trainable, out.iqm_queries)
+        if out.keep_idx is not None:
+            cells = scoring.mask_to_patch_cells(masks, patch_size)  # (B, L)
+            cells = jnp.take_along_axis(cells, out.keep_idx, axis=1)
+            for f in out.seg_tokens:
+                logits = scoring.similarity_logits(f, anchors)      # (B,K,2)
+                probs = jnp.swapaxes(jax.nn.softmax(logits, -1), 1, 2)
+                total += seg_loss_tokens(probs, cells,
+                                         sample_weight=weights) * text_w * 0.5
+            for f in out.seg_tokens:
+                pred = scoring.iqm_patch_pred(f, q)                 # (B, K)
+                probs = jnp.stack([1.0 - pred, pred], axis=1)
+                total += seg_loss_tokens(probs, cells,
+                                         sample_weight=weights) * iqm_w * 0.5
+            return total
+
         for f in out.seg_tokens:
             probs = scoring.similarity_map_train(f, anchors, img_size)
             total += seg_loss(probs, masks, sample_weight=weights) * text_w * 0.5
 
-        q = adapters_mod.project_queries(trainable, out.iqm_queries)
         for f in out.seg_tokens:
             iqm_map = scoring.iqm_train_map(f, q, img_size)
             total += seg_loss(iqm_map, masks, sample_weight=weights) * iqm_w * 0.5
         return total
 
     def step(trainable, opt_state, frozen, images, masks, labels, anchors,
-             weights):
+             weights, rng=None):
         loss, grads = jax.value_and_grad(loss_fn)(
-            trainable, frozen, images, masks, labels, anchors, weights)
+            trainable, frozen, images, masks, labels, anchors, weights, rng)
         if clip_grad_norm is not None:
             grads, _ = optax.clip_by_global_norm(clip_grad_norm).update(
                 grads, optax.EmptyState())
@@ -185,13 +218,34 @@ def make_stage2_step(cfg: ModelConfig, train_cfg: TrainConfig,
         trainable = optax.apply_updates(trainable, updates)
         return trainable, opt_state, loss
 
+    donate_argnums = (0, 1) if donate else ()
+    if not patch_drop:
+        # rng stays out of the jitted signature on the default path.
+        def step_no_rng(trainable, opt_state, frozen, images, masks, labels,
+                        anchors, weights):
+            return step(trainable, opt_state, frozen, images, masks, labels,
+                        anchors, weights, None)
+
+        if mesh is not None:
+            from ..parallel.mesh import batch_sharding, replicated
+
+            rep, dat = replicated(mesh), batch_sharding(mesh)
+            return jax.jit(
+                step_no_rng,
+                in_shardings=(rep, rep, rep, dat, dat, dat, dat, dat),
+                out_shardings=(rep, rep, rep),
+                donate_argnums=donate_argnums,
+            )
+        return jax.jit(step_no_rng, donate_argnums=donate_argnums)
+
     if mesh is not None:
         from ..parallel.mesh import batch_sharding, replicated
 
         rep, dat = replicated(mesh), batch_sharding(mesh)
         return jax.jit(
             step,
-            in_shardings=(rep, rep, rep, dat, dat, dat, dat, dat),
+            in_shardings=(rep, rep, rep, dat, dat, dat, dat, dat, rep),
             out_shardings=(rep, rep, rep),
+            donate_argnums=donate_argnums,
         )
-    return jax.jit(step)
+    return jax.jit(step, donate_argnums=donate_argnums)

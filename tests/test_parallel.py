@@ -57,13 +57,15 @@ def test_data_parallel_stage2_matches_single_device(model, batch):
             jnp.asarray(batch["label"]), anchors,
             jnp.ones(batch["image"].shape[0], jnp.float32))
 
+    # donate=False: the same trainable/opt_state feed both step variants
     single = steps.make_stage2_step(cfg, train_cfg, tx,
-                                    compute_dtype=jnp.float32)
+                                    compute_dtype=jnp.float32, donate=False)
     t1, _, loss1 = single(trainable, opt_state, frozen, *args)
 
     mesh = mesh_mod.make_mesh()
     sharded = steps.make_stage2_step(cfg, train_cfg, tx,
-                                     compute_dtype=jnp.float32, mesh=mesh)
+                                     compute_dtype=jnp.float32, mesh=mesh,
+                                     donate=False)
     t8, _, loss8 = sharded(trainable, opt_state, frozen, *args)
 
     np.testing.assert_allclose(float(loss1), float(loss8), rtol=1e-4)

@@ -78,6 +78,10 @@ def build_parser():
                         "T_max=epochs cosine schedule")
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize blocks in the stage-2 backward")
+    parser.add_argument("--patch_dropout", type=float, default=0.0,
+                        help="stage-2 patch-dropout rate (the reference "
+                        "configures 0.2 but never activates it — survey Q5; "
+                        "off by default for fidelity)")
     parser.add_argument("--profile_dir", type=str, default=None)
     parser.add_argument("--debug_nans", action="store_true")
     return parser
@@ -99,6 +103,7 @@ def main():
         iqm_num_layers=args.iqm_num_layers,
         iqm_num_heads=args.iqm_num_heads,
         surgery_until_layer=args.surgery_until_layer,
+        patch_dropout=args.patch_dropout,
     )
     train_cfg = TrainConfig(
         dataset=args.dataset, img_size=args.img_size,
