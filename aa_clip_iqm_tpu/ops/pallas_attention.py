@@ -318,22 +318,24 @@ def flash_mha_packed(qkv, num_heads: int, scale: float, vv: bool = False,
 
 
 def _bwd_kernel_grouped(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
-                        *, scale: float, seq_len: int, heads_per_block: int):
+                        dk_acc, dv_acc, *, scale: float, seq_len: int,
+                        heads_per_block: int, n_j: int):
     """Flash backward for the packed row kernel (standard q/k/v path).
 
     Recomputes s and p for its q-block (no saved probabilities), then
       dv += p^T dO;  dp = dO v^T;  D = rowsum(p * dp);
       ds = p (dp - D);  dq = ds k * scale;  dk += ds^T q * scale.
-    dk/dv output blocks keep a constant index over the innermost grid
-    dimension (q-blocks), so Pallas keeps them resident in VMEM and we
-    initialize at j==0 and accumulate across j (revisiting pattern).
+    dk/dv accumulate across q-blocks (innermost grid dim) in fp32 VMEM
+    *scratch* (bf16 += drifts); the outputs themselves are written once, in
+    the input dtype, at the last q-block — so the caller's dq/dk/dv concat
+    moves half the bytes an fp32 round-trip would and needs no cast.
     """
     j = pl.program_id(2)
 
     @pl.when(j == 0)
     def _init():
-        dk_ref[...] = jnp.zeros_like(dk_ref)
-        dv_ref[...] = jnp.zeros_like(dv_ref)
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
 
     g = heads_per_block
     hd = q_ref.shape[-1] // g
@@ -355,10 +357,10 @@ def _bwd_kernel_grouped(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
         p = p / jnp.sum(p, axis=1, keepdims=True)          # (blk, L)
 
         pb = p.astype(v.dtype)
-        dv_ref[0, :, sl] += jax.lax.dot_general(
+        dv_acc[:, sl] += jax.lax.dot_general(
             pb, dO.astype(v.dtype),
             dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+            preferred_element_type=jnp.float32)
 
         dp = jax.lax.dot_general(
             dO.astype(v.dtype), v,
@@ -372,10 +374,15 @@ def _bwd_kernel_grouped(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
             dsb, k, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale).astype(dq_ref.dtype)
         # q here already carries the scale factor: dL/dk = ds^T (q_raw*scale)
-        dk_ref[0, :, sl] += jax.lax.dot_general(
+        dk_acc[:, sl] += jax.lax.dot_general(
             dsb, q.astype(k.dtype),
             dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+            preferred_element_type=jnp.float32)
+
+    @pl.when(j == n_j - 1)
+    def _flush():
+        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
 
 
 # Separate (smaller) q-block budget for the backward kernel: it holds two
@@ -405,11 +412,13 @@ def _flash_packed_bwd_kernelized(qkv, g, num_heads, scale, valid_len):
     n_panels = num_heads // group
     sec_panels = w // panel
 
+    n_j = l_pad // blk_q
     kernel = functools.partial(_bwd_kernel_grouped, scale=scale,
-                               seq_len=seq_len, heads_per_block=group)
+                               seq_len=seq_len, heads_per_block=group,
+                               n_j=n_j)
     dq, dk, dv = pl.pallas_call(
         kernel,
-        grid=(b, n_panels, l_pad // blk_q),
+        grid=(b, n_panels, n_j),
         in_specs=[
             pl.BlockSpec((1, blk_q, panel),
                          lambda bi, hi, j: (bi, j, 0 * sec_panels + hi),
@@ -433,9 +442,13 @@ def _flash_packed_bwd_kernelized(qkv, g, num_heads, scale, valid_len):
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b, l_pad, w), jnp.float32),
-            jax.ShapeDtypeStruct((b, l_pad, w), jnp.float32),
-            jax.ShapeDtypeStruct((b, l_pad, w), jnp.float32),
+            jax.ShapeDtypeStruct((b, l_pad, w), qkv.dtype),
+            jax.ShapeDtypeStruct((b, l_pad, w), qkv.dtype),
+            jax.ShapeDtypeStruct((b, l_pad, w), qkv.dtype),
+        ),
+        scratch_shapes=(
+            pltpu.VMEM((l_pad, panel), jnp.float32),
+            pltpu.VMEM((l_pad, panel), jnp.float32),
         ),
         cost_estimate=pl.CostEstimate(
             flops=10 * b * num_heads * l_pad * l_pad * hd,
@@ -444,11 +457,11 @@ def _flash_packed_bwd_kernelized(qkv, g, num_heads, scale, valid_len):
         ),
         interpret=INTERPRET,
     )(qkv, qkv, qkv, g)
-    # dk/dv must accumulate in fp32 across q-blocks (bf16 += drifts), and a
-    # custom VJP must hand back ONE dqkv tensor, so this concat+cast costs
-    # one extra gradient round-trip (~4% of the step) — accepted for
-    # accumulation accuracy.
-    dqkv = jnp.concatenate([dq, dk, dv], axis=-1).astype(qkv.dtype)
+    # A custom VJP must hand back ONE dqkv tensor; the kernel emits dq/dk/dv
+    # in the input dtype (fp32 accumulation stays in VMEM scratch), so this
+    # concat is the only extra HBM round-trip and moves half the bytes the
+    # previous fp32 concat+cast did.
+    dqkv = jnp.concatenate([dq, dk, dv], axis=-1)
     return dqkv[:, :in_len, :]
 
 
