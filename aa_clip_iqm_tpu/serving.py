@@ -88,34 +88,125 @@ class AnomalyDetector:
     def predict(self, images: np.ndarray,
                 class_name: str) -> Tuple[np.ndarray, np.ndarray]:
         """images: (B, 3, H, W) float32, CLIP-normalized, H=W=img_size.
-        Returns (anomaly maps (B, H, W) float32, image scores (B,))."""
+        Returns (anomaly maps (B, H, W) float32, image scores (B,)).
+
+        Ragged batch sizes are padded to a small bucket before dispatch so
+        the jitted program compiles once per *bucket*, not once per caller
+        batch shape (ViT-L compiles cost minutes on a fresh cache); the
+        padding is sliced off the outputs.
+        """
         if class_name not in self.anchors:
             raise KeyError(
                 f"unknown class {class_name!r}; available: {self.class_names()}")
-        b = images.shape[0]
-        anchor = self.anchors[class_name]
-        anchors_b = jnp.broadcast_to(anchor[None], (b,) + anchor.shape)
-        maps, scores = self._predict(self.frozen, self.trainable,
-                                     jnp.asarray(images), anchors_b)
-        return np.asarray(maps), np.asarray(scores)
-
-    def predict_paths(self, paths: Sequence[str],
-                      class_name: str) -> Tuple[np.ndarray, np.ndarray]:
-        """Load, preprocess (bicubic + CLIP normalize) and predict.
-
-        Ragged request sizes are padded to a small bucket so each bucket
-        compiles once (ViT-L compiles are expensive); padding is sliced off.
-        """
         from .evaluation.predict import _bucket
 
-        n = len(paths)
-        images = np.stack([
-            normalize_clip(_load_image(p, self.img_size)) for p in paths
-        ]).astype(np.float32)
+        n = images.shape[0]
         bucket = _bucket(n, multiple=8) if n > 1 else 1
         if bucket != n:
             images = np.concatenate(
-                [images, np.zeros((bucket - n,) + images.shape[1:],
+                [images, np.zeros((bucket - n,) + tuple(images.shape[1:]),
                                   np.float32)], axis=0)
-        maps, scores = self.predict(images, class_name)
-        return maps[:n], scores[:n]
+        anchor = self.anchors[class_name]
+        anchors_b = jnp.broadcast_to(anchor[None], (bucket,) + anchor.shape)
+        maps, scores = self._predict(self.frozen, self.trainable,
+                                     jnp.asarray(images), anchors_b)
+        return np.asarray(maps)[:n], np.asarray(scores)[:n]
+
+    def predict_paths(self, paths: Sequence[str],
+                      class_name: str) -> Tuple[np.ndarray, np.ndarray]:
+        """Load, preprocess (bicubic + CLIP normalize) and predict."""
+        images = np.stack([
+            normalize_clip(_load_image(p, self.img_size)) for p in paths
+        ]).astype(np.float32)
+        return self.predict(images, class_name)
+
+
+class MicroBatchingService:
+    """Request-coalescing front-end for AnomalyDetector.
+
+    Concurrent callers submit single images; a background worker drains the
+    queue, groups requests by class, and runs them as one bucketed device
+    batch — so a serving deployment feeds the TPU large shape-stable batches
+    instead of many batch-1 dispatches. No reference analogue (the reference
+    has no serving surface); new capability per SURVEY §7.
+
+        svc = MicroBatchingService(det, max_batch=32, max_latency_ms=5)
+        fut = svc.submit(image, "bottle")      # non-blocking
+        amap, score = fut.result()
+        svc.close()
+    """
+
+    _STOP = object()
+
+    def __init__(self, detector: AnomalyDetector, max_batch: int = 32,
+                 max_latency_ms: float = 5.0):
+        import queue
+        import threading
+
+        self.detector = detector
+        self.max_batch = max_batch
+        self.max_latency = max_latency_ms / 1000.0
+        self._queue: "queue.Queue" = queue.Queue()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def submit(self, image: np.ndarray, class_name: str):
+        """image: (3, H, W) CLIP-normalized. Returns a Future resolving to
+        (anomaly map (H, W), image score)."""
+        from concurrent.futures import Future
+
+        if image.ndim != 3:
+            raise ValueError(f"expected one (3, H, W) image, got {image.shape}")
+        fut: Future = Future()
+        self._queue.put((image, class_name, fut))
+        return fut
+
+    def predict(self, image: np.ndarray, class_name: str):
+        """Blocking single-image convenience wrapper around submit()."""
+        return self.submit(image, class_name).result()
+
+    def close(self):
+        self._queue.put(self._STOP)
+        self._worker.join()
+
+    # ------------------------------------------------------------------
+    def _run(self):
+        import queue
+        import time
+
+        while True:
+            item = self._queue.get()
+            if item is self._STOP:
+                return
+            batch = [item]
+            deadline = time.monotonic() + self.max_latency
+            # Coalesce whatever arrives within the latency window.
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._queue.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if nxt is self._STOP:
+                    self._flush(batch)
+                    return
+                batch.append(nxt)
+            self._flush(batch)
+
+    def _flush(self, batch):
+        by_class: Dict[str, list] = {}
+        for image, class_name, fut in batch:
+            by_class.setdefault(class_name, []).append((image, fut))
+        for class_name, items in by_class.items():
+            futs = [f for _, f in items]
+            try:
+                images = np.stack([img for img, _ in items]).astype(np.float32)
+                maps, scores = self.detector.predict(images, class_name)
+            except Exception as exc:  # propagate to every waiter
+                for f in futs:
+                    f.set_exception(exc)
+                continue
+            for i, f in enumerate(futs):
+                f.set_result((maps[i], scores[i]))

@@ -83,3 +83,53 @@ def _restored_trainable(save_path, cfg):
     trainable["text_adapter"] = restored_text["params"]
     restored = ckpt.load_stage2(save_path, trainable, latest_numbered=True)
     return restored["params"]
+
+
+def test_predict_buckets_ragged_batches(trained, rng):
+    """Ragged caller batch sizes pad to buckets: one compile per bucket,
+    not per batch shape, and padding never leaks into the outputs."""
+    root, save_path, cfg, frozen = trained
+    det = AnomalyDetector(
+        frozen, _restored_trainable(save_path, cfg), cfg, "Synth",
+        img_size=IMG, adapted_text=True, compute_dtype=np.float32,
+        use_pallas=False)
+    images = rng.standard_normal((8, 3, IMG, IMG)).astype(np.float32)
+    maps8, scores8 = det.predict(images, "widget")
+    for n in (1, 2, 3, 5, 8):
+        maps, scores = det.predict(images[:n], "widget")
+        assert maps.shape == (n, IMG, IMG) and scores.shape == (n,)
+        np.testing.assert_allclose(maps, maps8[:n], rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(scores, scores8[:n], rtol=1e-4, atol=1e-5)
+    if hasattr(det._predict, "_cache_size"):
+        # bucket sizes hit: 1 and 8 -> at most 2 compiled programs
+        assert det._predict._cache_size() <= 2
+
+
+def test_micro_batching_service(trained, rng):
+    from aa_clip_iqm_tpu.serving import MicroBatchingService
+
+    root, save_path, cfg, frozen = trained
+    det = AnomalyDetector(
+        frozen, _restored_trainable(save_path, cfg), cfg, "Synth",
+        img_size=IMG, adapted_text=True, compute_dtype=np.float32,
+        use_pallas=False)
+    images = rng.standard_normal((5, 3, IMG, IMG)).astype(np.float32)
+    ref_maps, ref_scores = det.predict(images, "widget")
+
+    svc = MicroBatchingService(det, max_batch=4, max_latency_ms=50.0)
+    try:
+        futs = [svc.submit(images[i], "widget") for i in range(5)]
+        for i, fut in enumerate(futs):
+            amap, score = fut.result(timeout=60)
+            assert amap.shape == (IMG, IMG)
+            np.testing.assert_allclose(amap, ref_maps[i], rtol=1e-4, atol=1e-5)
+            np.testing.assert_allclose(score, ref_scores[i], rtol=1e-4,
+                                       atol=1e-5)
+        # errors propagate through the future, not the worker thread
+        bad = svc.submit(images[0], "nope")
+        with pytest.raises(KeyError, match="unknown class"):
+            bad.result(timeout=60)
+        with pytest.raises(ValueError, match="one"):
+            svc.submit(images, "widget")
+    finally:
+        svc.close()

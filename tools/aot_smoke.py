@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""AOT-compile smoke for flagship-scale (ViT-L/14-336 @ 518px) programs
+under real data(+tensor)-parallel shardings on a virtual 8-device CPU mesh.
+
+Why compile-only: the tiny-model tests (tests/test_parallel.py) prove the
+DP/TP *semantics*, but the 8-thread CPU mesh cannot execute ViT-L programs
+(XLA's 40 s collective-rendezvous timeout fires when eight device threads
+share one core — see CLAUDE.md), so a shape/sharding bug that only appears
+at flagship scale would be invisible. Here every input is a
+jax.ShapeDtypeStruct carrying its NamedSharding — no ViT-L weights are ever
+materialized — while GSPMD partitioning and XLA compilation run in full, so
+partitioner failures at real scale surface without 8 real chips.
+
+Programs compiled:
+  1. stage-2 training step (bf16, remat off), global batch 8, DP over 4
+     'data' devices x TP-sharded frozen backbone over 2 'model' devices;
+  2. the fused predict program (eval pipeline), DP batch 8.
+
+Pallas kernels are swapped for the XLA attention path (Mosaic compiles only
+on TPU); the sharding layer under test is identical either way.
+
+Usage: python tools/aot_smoke.py   (several minutes on one CPU core; the
+virtual mesh is self-provisioned by re-exec, like __graft_entry__'s dryrun)
+"""
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+N_DEVICES = 8
+
+
+def _respawn():
+    env = dict(os.environ)
+    flags = env.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={N_DEVICES}"
+        ).strip()
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["AACLIP_AOT_CHILD"] = "1"
+    proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                          env=env, cwd=REPO)
+    sys.exit(proc.returncode)
+
+
+def main():
+    sys.path.insert(0, REPO)
+    import jax
+
+    if os.environ.get("AACLIP_AOT_CHILD") != "1":
+        jax.config.update("jax_platforms", "cpu")
+    if jax.default_backend() != "cpu" or len(jax.devices()) < N_DEVICES:
+        _respawn()
+        return
+
+    import jax.numpy as jnp
+
+    from aa_clip_iqm_tpu.configs import TrainConfig
+    from aa_clip_iqm_tpu.evaluation.predict import make_predict_fn
+    from aa_clip_iqm_tpu.loader import build_model_config
+    from aa_clip_iqm_tpu.models import adapters as adapters_mod
+    from aa_clip_iqm_tpu.models.clip import init_clip_params
+    from aa_clip_iqm_tpu.parallel import mesh as mesh_mod
+    from aa_clip_iqm_tpu.train import optim, steps
+
+    img = 518
+    b = 8
+    cfg = build_model_config(img_size=img)
+    mesh = mesh_mod.make_mesh(n_data=4, n_model=2)
+    rep = mesh_mod.replicated(mesh)
+    dat = mesh_mod.batch_sharding(mesh)
+
+    rng0 = jax.random.PRNGKey(0)
+    frozen_s = jax.eval_shape(init_clip_params, rng0, cfg.clip)
+    trainable_s = jax.eval_shape(adapters_mod.init_adapter_params, rng0, cfg)
+    train_cfg = TrainConfig(img_size=img, compute_dtype="bfloat16")
+    tx = optim.stage2_optimizer(trainable_s, train_cfg.image_lr, 100)
+    opt_s = jax.eval_shape(tx.init, trainable_s)
+
+    def with_sharding(struct_tree, sharding_tree):
+        return jax.tree.map(
+            lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
+            struct_tree, sharding_tree)
+
+    frozen_tp = with_sharding(
+        frozen_s, mesh_mod.backbone_param_sharding(mesh, frozen_s))
+    trainable_rep = with_sharding(
+        trainable_s, jax.tree.map(lambda _: rep, trainable_s))
+    opt_rep = with_sharding(opt_s, jax.tree.map(lambda _: rep, opt_s))
+
+    def bstruct(shape, dtype):
+        return jax.ShapeDtypeStruct(shape, dtype, sharding=dat)
+
+    images = bstruct((b, 3, img, img), jnp.float32)
+    masks = bstruct((b, 1, img, img), jnp.float32)
+    labels = bstruct((b,), jnp.int64)
+    anchors = bstruct((b, cfg.clip.embed_dim, 2), jnp.float32)
+    weights = bstruct((b,), jnp.float32)
+
+    # 1) stage-2 training step: shardings inferred from the input structs
+    # (DP batch + TP frozen), the same construction the dryrun executes at
+    # tiny scale (__graft_entry__._dryrun_impl).
+    step = steps.make_stage2_step(cfg, train_cfg, tx,
+                                  compute_dtype=jnp.bfloat16)
+    t0 = time.time()
+    lowered = step.lower(trainable_rep, opt_rep, frozen_tp, images, masks,
+                         labels, anchors, weights)
+    t_lower = time.time() - t0
+    t0 = time.time()
+    compiled = lowered.compile()
+    print(f"stage2_step: lower {t_lower:.1f}s, compile "
+          f"{time.time() - t0:.1f}s, "
+          f"flops={compiled.cost_analysis().get('flops', float('nan')):.3g}")
+
+    # 2) fused predict program under explicit DP shardings.
+    predict = make_predict_fn(cfg, img, "Industrial",
+                              compute_dtype=jnp.bfloat16, mesh=mesh)
+    frozen_rep = with_sharding(frozen_s, jax.tree.map(lambda _: rep, frozen_s))
+    t0 = time.time()
+    lowered = predict.lower(frozen_rep, trainable_rep, images, anchors)
+    t_lower = time.time() - t0
+    t0 = time.time()
+    compiled = lowered.compile()
+    print(f"predict: lower {t_lower:.1f}s, compile {time.time() - t0:.1f}s, "
+          f"flops={compiled.cost_analysis().get('flops', float('nan')):.3g}")
+    print("AOT smoke OK: ViT-L/518 DP(+TP) programs partition and compile")
+
+
+if __name__ == "__main__":
+    main()
