@@ -385,6 +385,128 @@ def _bwd_kernel_grouped(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
         dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
 
 
+def _vv_bwd_kernel_grouped(aq_ref, a_ref, g_ref, dv_ref, dv_acc, *,
+                           scale: float, seq_len: int, heads_per_block: int,
+                           n_j: int):
+    """Flash backward for the v-v surgery path (q = k = v = A).
+
+    out = softmax(scale * A A^T) A, so the gradient flows into A three ways:
+      dA = p^T dO                      (value operand)
+         + scale * ds   A             (query operand — rows of this q-block)
+         + scale * ds^T A_j           (key operand — all rows)
+    with ds = p * (dp - rowsum(p*dp)), dp = dO A^T, all recomputed per
+    q-block.  All three terms accumulate into one fp32 VMEM scratch using the
+    revisiting-output-block pattern; the query-operand term lands in the
+    accumulator's own q-block rows via a dynamic row slice.  Reference
+    semantics: model/transformer.py:102-152 (v-v Attention) — the reference
+    never differentiates this path; we support it so the surgery tower is
+    trainable (PARITY.md row 3).
+    """
+    j = pl.program_id(2)
+    blk_q = aq_ref.shape[1]
+
+    @pl.when(j == 0)
+    def _init():
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    g = heads_per_block
+    hd = aq_ref.shape[-1] // g
+    for i in range(g):
+        sl = slice(i * hd, (i + 1) * hd)
+        a_j = aq_ref[0, :, sl]                             # (blk, hd)
+        a = a_ref[0, :, sl]                                # (L, hd)
+        dO = g_ref[0, :, sl].astype(jnp.float32)           # (blk, hd)
+
+        s = jax.lax.dot_general(
+            a_j.astype(jnp.float32) * scale, a.astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (blk, L)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < seq_len, s, -jnp.inf)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=1, keepdims=True)          # (blk, L)
+
+        pb = p.astype(a.dtype)
+        dv_acc[:, sl] += jax.lax.dot_general(
+            pb, dO.astype(a.dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # value path
+
+        dp = jax.lax.dot_general(
+            dO.astype(a.dtype), a,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (blk, L)
+        d_row = jnp.sum(p * dp, axis=1, keepdims=True)
+        ds = p * (dp - d_row)
+        dsb = ds.astype(a.dtype)
+
+        dv_acc[pl.ds(j * blk_q, blk_q), sl] += jax.lax.dot_general(
+            dsb, a, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale    # query path
+        dv_acc[:, sl] += jax.lax.dot_general(
+            dsb, a_j.astype(a.dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale    # key path
+
+    @pl.when(j == n_j - 1)
+    def _flush():
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _flash_packed_vv_bwd_kernelized(qkv, g, num_heads, scale, valid_len):
+    """dqkv for the v-v packed attention via the Pallas backward: the q/k
+    column gradients are identically zero (the forward never reads them), and
+    the v columns get the three-way accumulated gradient."""
+    b, in_len, threew = qkv.shape
+    w = threew // 3
+    hd = w // num_heads
+    blk_q = _choose_bwd_blk_q(in_len)
+    l_pad = _round_up(in_len, blk_q)
+    if l_pad != in_len:
+        qkv = jnp.pad(qkv, ((0, 0), (0, l_pad - in_len), (0, 0)))
+        g = jnp.pad(g, ((0, 0), (0, l_pad - in_len), (0, 0)))
+    seq_len = valid_len if valid_len is not None else in_len
+
+    min_group = max(1, LANE // hd)
+    group = min_group
+    panel = group * hd
+    n_panels = num_heads // group
+    sec_panels = w // panel
+
+    n_j = l_pad // blk_q
+    kernel = functools.partial(_vv_bwd_kernel_grouped, scale=scale,
+                               seq_len=seq_len, heads_per_block=group,
+                               n_j=n_j)
+    dv = pl.pallas_call(
+        kernel,
+        grid=(b, n_panels, n_j),
+        in_specs=[
+            pl.BlockSpec((1, blk_q, panel),
+                         lambda bi, hi, j: (bi, j, 2 * sec_panels + hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l_pad, panel),
+                         lambda bi, hi, j: (bi, 0, 2 * sec_panels + hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk_q, panel),
+                         lambda bi, hi, j: (bi, j, hi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, l_pad, panel), lambda bi, hi, j: (bi, 0, hi),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, l_pad, w), qkv.dtype),
+        scratch_shapes=(pltpu.VMEM((l_pad, panel), jnp.float32),),
+        cost_estimate=pl.CostEstimate(
+            flops=12 * b * num_heads * l_pad * l_pad * hd,
+            bytes_accessed=2 * qkv.size * qkv.dtype.itemsize,
+            transcendentals=b * num_heads * l_pad * l_pad,
+        ),
+        interpret=INTERPRET,
+    )(qkv, qkv, g)
+    zeros = jnp.zeros((b, in_len, 2 * w), qkv.dtype)
+    return jnp.concatenate([zeros, dv[:, :in_len, :]], axis=-1)
+
+
 # Separate (smaller) q-block budget for the backward kernel: it holds two
 # (blk, L) fp32 rows (p and ds) plus the dk/dv accumulators in VMEM.
 _BWD_VMEM_SCORE_BYTES = 2 * 1024 * 1024
@@ -490,16 +612,24 @@ def _packed_fwd(qkv, num_heads, scale, vv, valid_len):
     return flash_mha_packed(qkv, num_heads, scale, vv, valid_len), qkv
 
 
+# The v-v flash backward is on by default; the XLA-recompute VJP stays as the
+# parity oracle (tests flip this off to compare) and as a debugging fallback.
+VV_BWD_KERNEL = True
+
+
 def _packed_bwd(num_heads, scale, vv, valid_len, qkv, g):
     if not vv:
         # Flash backward kernel: recomputes p per q-block, never
         # materializes the (L, L) probabilities in HBM.
         return (_flash_packed_bwd_kernelized(qkv, g, num_heads, scale,
                                              valid_len),)
-    # v-v surgery path: gradients flow into the v columns three ways; the
-    # XLA recompute handles the shared-operand chain rule (this path is
-    # only differentiated if someone trains through the surgery tower,
-    # which the reference never does).
+    if VV_BWD_KERNEL:
+        # v-v surgery path, kernelized: the three-way shared-operand chain
+        # rule accumulates in one fp32 VMEM scratch (see _vv_bwd_kernel_grouped).
+        return (_flash_packed_vv_bwd_kernelized(qkv, g, num_heads, scale,
+                                                valid_len),)
+    # XLA recompute fallback: materializes the (L, L) probabilities but
+    # handles the shared-operand chain rule with autodiff.
     _, vjp = jax.vjp(
         lambda t: _packed_reference(t, num_heads, scale, vv, valid_len), qkv)
     return vjp(g)

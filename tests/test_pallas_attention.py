@@ -145,17 +145,30 @@ def test_packed_gradient_with_tail_padding(rng):
                                atol=1e-4)
 
 
-def test_packed_gradient_vv(rng):
-    """v-v path gradients (XLA recompute branch of the custom VJP)."""
-    b, l, heads, hd = 1, 256, 2, 64
+@pytest.mark.parametrize("seq_len", [256, 300])
+def test_packed_gradient_vv(rng, seq_len):
+    """v-v path gradients: the flash backward kernel (three-way shared-operand
+    accumulation) vs both autodiff oracles, incl. a tail-padded length."""
+    b, heads, hd = 1, 2, 64
     w = heads * hd
-    qkv = jnp.asarray(rng.standard_normal((b, l, 3 * w)).astype(np.float32))
+    qkv = jnp.asarray(
+        rng.standard_normal((b, seq_len, 3 * w)).astype(np.float32))
     scale = hd ** -0.5
+    assert pa.VV_BWD_KERNEL
     g1 = jax.grad(lambda t: jnp.sum(
         pa.flash_mha_packed(t, heads, scale, True) ** 2))(qkv)
     g2 = jax.grad(lambda t: jnp.sum(
         pa._packed_reference(t, heads, scale, True) ** 2))(qkv)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-3,
+                               atol=1e-4)
+    # The recompute branch of the custom VJP stays available as a fallback.
+    pa.VV_BWD_KERNEL = False
+    try:
+        g3 = jax.grad(lambda t: jnp.sum(
+            pa.flash_mha_packed(t, heads, scale, True) ** 2))(qkv)
+    finally:
+        pa.VV_BWD_KERNEL = True
+    np.testing.assert_allclose(np.asarray(g3), np.asarray(g2), rtol=1e-3,
                                atol=1e-4)
 
 
