@@ -33,13 +33,46 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
     return Mesh(arr, axis_names=("data", "model"))
 
 
+def make_multislice_mesh(n_slices: int, n_data: Optional[int] = None,
+                         n_model: int = 1, devices=None) -> Mesh:
+    """('replica', 'data', 'model') mesh for multi-slice (DCN-connected)
+    deployments.
+
+    The slice axis is *outermost* so GSPMD maps it onto the slowest network
+    tier: tensor-parallel collectives on 'model' and batch all-gathers on
+    'data' stay inside a slice (ICI), and only the once-per-step gradient
+    psum over 'replica' crosses DCN. On real multi-slice hardware devices
+    are grouped by their ``slice_index`` so the mesh rows coincide with
+    physical slices; on a flat (single-slice or virtual CPU) topology the
+    device list is split evenly, which preserves ICI adjacency within rows.
+
+    The reference has no distributed support at all (SURVEY.md §2 row 19);
+    this is the DCN tier of the framework's GSPMD backend.
+    """
+    devices = list(devices) if devices is not None else jax.devices()
+    slice_ids = {getattr(d, "slice_index", None) for d in devices}
+    if len(slice_ids) > 1 and None not in slice_ids:
+        devices = sorted(devices, key=lambda d: (d.slice_index, d.id))
+    per_slice = len(devices) // n_slices
+    if n_data is None:
+        n_data = per_slice // n_model
+    need = n_slices * n_data * n_model
+    arr = np.asarray(devices[:need]).reshape(n_slices, n_data, n_model)
+    return Mesh(arr, axis_names=("replica", "data", "model"))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _data_axes(mesh: Mesh):
+    return tuple(n for n in mesh.axis_names if n in ("replica", "data"))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (batch) axis over 'data', replicate the rest."""
-    return NamedSharding(mesh, P("data"))
+    """Shard the leading (batch) axis over the data-parallel axes ('data',
+    plus 'replica' on a multi-slice mesh), replicate the rest."""
+    return NamedSharding(mesh, P(_data_axes(mesh)))
 
 
 def shard_batch(mesh: Mesh, batch):

@@ -144,7 +144,7 @@ def make_stage2_step(cfg: ModelConfig, train_cfg: TrainConfig,
                      tx: optax.GradientTransformation,
                      compute_dtype=jnp.float32, use_pallas: bool = False,
                      mesh=None, clip_grad_norm: Optional[float] = None,
-                     donate: bool = True):
+                     donate: bool = True, frozen_sharding=None):
     """Build jitted step(trainable, opt_state, frozen, images, masks, labels,
     anchors, weights[, rng]) -> (trainable, opt_state, loss).
 
@@ -230,9 +230,12 @@ def make_stage2_step(cfg: ModelConfig, train_cfg: TrainConfig,
             from ..parallel.mesh import batch_sharding, replicated
 
             rep, dat = replicated(mesh), batch_sharding(mesh)
+            # frozen_sharding lets callers run a tensor-parallel backbone
+            # (e.g. backbone_param_sharding) under the same step program.
+            frz = frozen_sharding if frozen_sharding is not None else rep
             return jax.jit(
                 step_no_rng,
-                in_shardings=(rep, rep, rep, dat, dat, dat, dat, dat),
+                in_shardings=(rep, rep, frz, dat, dat, dat, dat, dat),
                 out_shardings=(rep, rep, rep),
                 donate_argnums=donate_argnums,
             )
@@ -242,9 +245,10 @@ def make_stage2_step(cfg: ModelConfig, train_cfg: TrainConfig,
         from ..parallel.mesh import batch_sharding, replicated
 
         rep, dat = replicated(mesh), batch_sharding(mesh)
+        frz = frozen_sharding if frozen_sharding is not None else rep
         return jax.jit(
             step,
-            in_shardings=(rep, rep, rep, dat, dat, dat, dat, dat, rep),
+            in_shardings=(rep, rep, frz, dat, dat, dat, dat, dat, rep),
             out_shardings=(rep, rep, rep),
             donate_argnums=donate_argnums,
         )

@@ -120,6 +120,45 @@ def test_tensor_parallel_backbone_sharding(model, batch):
                                rtol=1e-3, atol=1e-4)
 
 
+def test_multislice_mesh_stage2_matches_single_device(model, batch):
+    """('replica', 'data', 'model') mesh — DCN-replica DP x intra-slice DP x
+    Megatron TP — produces the same step as a single device. On the virtual
+    CPU mesh the 'replica' axis stands in for the DCN tier; the shardings and
+    collectives are exactly what a real multi-slice run would compile."""
+    cfg, frozen, trainable = model
+    train_cfg = TrainConfig(img_size=IMG, image_epoch=1,
+                            compute_dtype="float32")
+    tx = optim.stage2_optimizer(trainable, train_cfg.image_lr, 10)
+    opt_state = tx.init(trainable)
+    anchors = jnp.asarray(
+        np.random.default_rng(2).standard_normal(
+            (8, cfg.clip.embed_dim, 2)).astype(np.float32))
+    args = (jnp.asarray(batch["image"]), jnp.asarray(batch["mask"]),
+            jnp.asarray(batch["label"]), anchors,
+            jnp.ones(batch["image"].shape[0], jnp.float32))
+
+    single = steps.make_stage2_step(cfg, train_cfg, tx,
+                                    compute_dtype=jnp.float32, donate=False)
+    t1, _, loss1 = single(trainable, opt_state, frozen, *args)
+
+    mesh = mesh_mod.make_multislice_mesh(2, n_data=2, n_model=2)
+    assert dict(mesh.shape) == {"replica": 2, "data": 2, "model": 2}
+    # Batch axes shard over both DP tiers (replica x data = 4-way).
+    assert mesh_mod.batch_sharding(mesh).spec == jax.sharding.PartitionSpec(
+        ("replica", "data"))
+    frozen_tp = mesh_mod.shard_backbone(mesh, frozen)
+    sharded = steps.make_stage2_step(
+        cfg, train_cfg, tx, compute_dtype=jnp.float32, mesh=mesh,
+        donate=False,
+        frozen_sharding=mesh_mod.backbone_param_sharding(mesh, frozen))
+    t8, _, loss8 = sharded(trainable, opt_state, frozen_tp, *args)
+
+    np.testing.assert_allclose(float(loss1), float(loss8), rtol=1e-4)
+    w1 = np.asarray(t1["image_adapter"]["det_proj"]["w"])
+    w8 = np.asarray(t8["image_adapter"]["det_proj"]["w"])
+    np.testing.assert_allclose(w1, w8, rtol=1e-4, atol=1e-5)
+
+
 def test_stage1_step_data_parallel(model, batch):
     cfg, frozen, trainable = model
     from aa_clip_iqm_tpu.data.synthetic import register_synthetic
