@@ -20,6 +20,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from .configs import ModelConfig
@@ -119,6 +120,119 @@ class AnomalyDetector:
             normalize_clip(_load_image(p, self.img_size)) for p in paths
         ]).astype(np.float32)
         return self.predict(images, class_name)
+
+
+def export_predictor(detector: AnomalyDetector, out_dir: str,
+                     batch_sizes: Sequence[int] = (1, 8, 16)) -> None:
+    """Serialize the fused predict program to deployable artifacts.
+
+    Writes, per batch bucket, a `jax.export` StableHLO artifact with the
+    frozen backbone + trainable adapters baked in as constants, plus the
+    per-class anchors (`anchors.npz`) and a `manifest.json`. A deployment
+    loads them with :class:`ExportedPredictor` — no model code, config
+    registry, or checkpoint layout needed at serve time, and no tracing or
+    Python-side model execution (the artifact is the compiled program's
+    portable StableHLO; the target runtime re-specializes it on load).
+
+    Artifacts are platform-checked by jax.export: export on the platform you
+    will serve on (TPU artifacts from a TPU process). No reference analogue
+    (the reference has no serving surface; new capability per SURVEY §7).
+    """
+    import json
+    import os
+
+    from jax import export as jexport
+
+    os.makedirs(out_dir, exist_ok=True)
+    img, e = detector.img_size, detector.cfg.clip.embed_dim
+
+    def baked(images, anchors):
+        return detector._predict(detector.frozen, detector.trainable,
+                                 images, anchors)
+
+    fn = jax.jit(baked)
+    for b in batch_sizes:
+        exp = jexport.export(fn)(
+            jax.ShapeDtypeStruct((b, 3, img, img), jnp.float32),
+            jax.ShapeDtypeStruct((b, e, 2), jnp.float32))
+        with open(os.path.join(out_dir, f"predict_b{b}.bin"), "wb") as f:
+            f.write(exp.serialize())
+    np.savez(os.path.join(out_dir, "anchors.npz"),
+             **{k: np.asarray(v) for k, v in detector.anchors.items()})
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump({
+            "img_size": img,
+            "embed_dim": e,
+            "dataset": detector.dataset,
+            "domain": detector.domain,
+            "batch_sizes": sorted(batch_sizes),
+            "classes": detector.class_names(),
+            "platforms": list(exp.platforms),
+        }, f, indent=1)
+
+
+class ExportedPredictor:
+    """Serve anomaly maps from `export_predictor` artifacts.
+
+    Mirrors :meth:`AnomalyDetector.predict` (numpy in/out, bucketed batches)
+    but needs only the artifact directory — weights and scoring pipeline are
+    inside the serialized programs.
+
+        pred = ExportedPredictor("exported/")
+        maps, scores = pred.predict(images, "bottle")
+    """
+
+    def __init__(self, path: str):
+        import json
+        import os
+
+        with open(os.path.join(path, "manifest.json")) as f:
+            self.manifest = json.load(f)
+        self.img_size = self.manifest["img_size"]
+        self.domain = self.manifest["domain"]
+        self.anchors = {k: jnp.asarray(v) for k, v in
+                        np.load(os.path.join(path, "anchors.npz")).items()}
+        self._path = path
+        self._programs: Dict[int, object] = {}
+
+    def class_names(self) -> List[str]:
+        return list(self.manifest["classes"])
+
+    def _program(self, bucket: int):
+        if bucket not in self._programs:
+            import os
+
+            from jax import export as jexport
+
+            with open(os.path.join(self._path,
+                                   f"predict_b{bucket}.bin"), "rb") as f:
+                self._programs[bucket] = jexport.deserialize(f.read())
+        return self._programs[bucket]
+
+    def predict(self, images: np.ndarray,
+                class_name: str) -> Tuple[np.ndarray, np.ndarray]:
+        """images: (B, 3, H, W) float32 CLIP-normalized -> (maps, scores)."""
+        if class_name not in self.anchors:
+            raise KeyError(
+                f"unknown class {class_name!r}; available: {self.class_names()}")
+        n = images.shape[0]
+        sizes = self.manifest["batch_sizes"]
+        fitting = [b for b in sizes if b >= n]
+        bucket = fitting[0] if fitting else sizes[-1]
+        if not fitting:  # larger than the biggest exported bucket: split
+            maps, scores = zip(*(
+                self.predict(images[i:i + bucket], class_name)
+                for i in range(0, n, bucket)))
+            return np.concatenate(maps), np.concatenate(scores)
+        if bucket != n:
+            images = np.concatenate(
+                [images, np.zeros((bucket - n,) + tuple(images.shape[1:]),
+                                  np.float32)], axis=0)
+        anchor = self.anchors[class_name]
+        anchors_b = jnp.broadcast_to(anchor[None], (bucket,) + anchor.shape)
+        maps, scores = self._program(bucket).call(jnp.asarray(images),
+                                                  anchors_b)
+        return np.asarray(maps)[:n], np.asarray(scores)[:n]
 
 
 class MicroBatchingService:

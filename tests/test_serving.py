@@ -133,3 +133,34 @@ def test_micro_batching_service(trained, rng):
             svc.submit(images, "widget")
     finally:
         svc.close()
+
+
+def test_exported_predictor_roundtrip(trained, rng, tmp_path):
+    """export_predictor artifacts reload without model code and reproduce
+    the live detector's outputs, incl. bucket padding and oversize splits."""
+    from aa_clip_iqm_tpu.serving import ExportedPredictor, export_predictor
+
+    root, save_path, cfg, frozen = trained
+    det = AnomalyDetector(
+        frozen, _restored_trainable(save_path, cfg), cfg, "Synth",
+        img_size=IMG, adapted_text=True, compute_dtype=np.float32,
+        use_pallas=False)
+    out = str(tmp_path / "exported")
+    export_predictor(det, out, batch_sizes=(1, 2))
+
+    pred = ExportedPredictor(out)
+    assert pred.class_names() == ["widget"]
+    assert pred.img_size == IMG
+
+    images = rng.standard_normal((3, 3, IMG, IMG)).astype(np.float32)
+    ref_maps, ref_scores = det.predict(images, "widget")
+    # n=3 exceeds the largest bucket (2): exercises the split path; n=1
+    # exact; n=2 exact bucket.
+    for n in (1, 2, 3):
+        maps, scores = pred.predict(images[:n], "widget")
+        assert maps.shape == (n, IMG, IMG)
+        np.testing.assert_allclose(maps, ref_maps[:n], rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(scores, ref_scores[:n], rtol=1e-4,
+                                   atol=1e-5)
+    with pytest.raises(KeyError, match="unknown class"):
+        pred.predict(images[:1], "nope")
