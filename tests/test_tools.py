@@ -56,3 +56,24 @@ def test_subset_kshot(tmp_path):
     out2 = str(tmp_path / "again.jsonl")
     _run("subset", "--full", meta_path, "--shot", "4", "--out", out2)
     assert _rows(out2) == rows
+
+
+def test_aot_smoke_tool():
+    """tools/aot_smoke.py AOT-partitions + compiles the flagship-scale DP+TP
+    programs on a self-provisioned virtual 8-device mesh. Opt-in (compiles
+    ViT-L-shape programs, ~1 min on one CPU core):
+
+        AACLIP_SCALE_TESTS=1 python -m pytest tests/test_tools.py -k aot
+    """
+    import pytest
+
+    if not os.environ.get("AACLIP_SCALE_TESTS"):
+        pytest.skip("flagship-scale AOT smoke is opt-in (AACLIP_SCALE_TESTS=1)")
+    tool = os.path.join(os.path.dirname(__file__), "..", "tools",
+                        "aot_smoke.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    out = subprocess.run([sys.executable, tool], capture_output=True,
+                         text=True, env=env, timeout=1800)
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "AOT smoke OK" in out.stdout

@@ -50,9 +50,15 @@ def main():
     sys.path.insert(0, REPO)
     import jax
 
-    if os.environ.get("AACLIP_AOT_CHILD") != "1":
-        jax.config.update("jax_platforms", "cpu")
-    if jax.default_backend() != "cpu" or len(jax.devices()) < N_DEVICES:
+    # The axon sitecustomize re-pins JAX_PLATFORMS at interpreter start, so
+    # the child's env var alone is not enough: force cpu via jax.config in
+    # BOTH parent and child (before the backend initializes).
+    jax.config.update("jax_platforms", "cpu")
+    if len(jax.devices()) < N_DEVICES:
+        if os.environ.get("AACLIP_AOT_CHILD") == "1":
+            raise RuntimeError(
+                f"virtual CPU mesh provisioning failed: "
+                f"{len(jax.devices())} devices in the respawned child")
         _respawn()
         return
 
@@ -74,8 +80,10 @@ def main():
     dat = mesh_mod.batch_sharding(mesh)
 
     rng0 = jax.random.PRNGKey(0)
-    frozen_s = jax.eval_shape(init_clip_params, rng0, cfg.clip)
-    trainable_s = jax.eval_shape(adapters_mod.init_adapter_params, rng0, cfg)
+    # configs are static: close over them (eval_shape abstracts every arg)
+    frozen_s = jax.eval_shape(lambda r: init_clip_params(r, cfg.clip), rng0)
+    trainable_s = jax.eval_shape(
+        lambda r: adapters_mod.init_adapter_params(r, cfg), rng0)
     train_cfg = TrainConfig(img_size=img, compute_dtype="bfloat16")
     tx = optim.stage2_optimizer(trainable_s, train_cfg.image_lr, 100)
     opt_s = jax.eval_shape(tx.init, trainable_s)
