@@ -122,17 +122,60 @@ class AnomalyDetector:
         return self.predict(images, class_name)
 
 
+def _flatten_tree(tree, prefix=""):
+    """Dict/list pytree -> {'a/#0/c': array}. List/tuple positions get
+    '#<i>' path segments so the exact structure round-trips ('/' and '#'
+    never start real keys in these pytrees)."""
+    out = {}
+    items = (tree.items() if isinstance(tree, dict)
+             else ((f"#{i}", v) for i, v in enumerate(tree)))
+    for k, v in items:
+        key = f"{prefix}{k}"
+        if isinstance(v, (dict, list, tuple)):
+            out.update(_flatten_tree(v, key + "/"))
+        else:
+            out[key] = v
+    return out
+
+
+def _unflatten_tree(flat):
+    out: dict = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        node = out
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+
+    def listify(node):
+        if not isinstance(node, dict):
+            return node
+        node = {k: listify(v) for k, v in node.items()}
+        if node and all(k.startswith("#") for k in node):
+            return [node[f"#{i}"] for i in range(len(node))]
+        return node
+
+    return listify(out)
+
+
 def export_predictor(detector: AnomalyDetector, out_dir: str,
-                     batch_sizes: Sequence[int] = (1, 8, 16)) -> None:
+                     batch_sizes: Sequence[int] = (1, 8, 16),
+                     weights: str = "external") -> None:
     """Serialize the fused predict program to deployable artifacts.
 
-    Writes, per batch bucket, a `jax.export` StableHLO artifact with the
-    frozen backbone + trainable adapters baked in as constants, plus the
+    Writes, per batch bucket, a `jax.export` StableHLO artifact, plus the
     per-class anchors (`anchors.npz`) and a `manifest.json`. A deployment
     loads them with :class:`ExportedPredictor` — no model code, config
     registry, or checkpoint layout needed at serve time, and no tracing or
     Python-side model execution (the artifact is the compiled program's
     portable StableHLO; the target runtime re-specializes it on load).
+
+    weights="external" (default): the program takes the weight pytrees as
+    call arguments and they ship as raw arrays in `weights.npz` — the
+    program artifact stays small and loads instantly. weights="baked"
+    embeds them as StableHLO constants (fully self-contained artifact, but
+    at ViT-L scale that is a ~1.3 GB MLIR module whose deserialization
+    takes tens of minutes on one core — measured; prefer external).
 
     Artifacts are platform-checked by jax.export: export on the platform you
     will serve on (TPU artifacts from a TPU process). No reference analogue
@@ -143,18 +186,41 @@ def export_predictor(detector: AnomalyDetector, out_dir: str,
 
     from jax import export as jexport
 
+    if weights not in ("external", "baked"):
+        raise ValueError(f"weights must be 'external' or 'baked', got {weights!r}")
     os.makedirs(out_dir, exist_ok=True)
     img, e = detector.img_size, detector.cfg.clip.embed_dim
 
-    def baked(images, anchors):
-        return detector._predict(detector.frozen, detector.trainable,
-                                 images, anchors)
+    if weights == "external":
+        fn = detector._predict  # already jitted with (frozen, trainable, ...)
+        frozen_sds = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), detector.frozen)
+        trainable_sds = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+            detector.trainable)
 
-    fn = jax.jit(baked)
+        def specs(b):
+            return (frozen_sds, trainable_sds,
+                    jax.ShapeDtypeStruct((b, 3, img, img), jnp.float32),
+                    jax.ShapeDtypeStruct((b, e, 2), jnp.float32))
+
+        flat = {**_flatten_tree({"frozen": detector.frozen}),
+                **_flatten_tree({"trainable": detector.trainable})}
+        np.savez(os.path.join(out_dir, "weights.npz"),
+                 **{k: np.asarray(v) for k, v in flat.items()})
+    else:
+        def baked(images, anchors):
+            return detector._predict(detector.frozen, detector.trainable,
+                                     images, anchors)
+
+        fn = jax.jit(baked)
+
+        def specs(b):
+            return (jax.ShapeDtypeStruct((b, 3, img, img), jnp.float32),
+                    jax.ShapeDtypeStruct((b, e, 2), jnp.float32))
+
     for b in batch_sizes:
-        exp = jexport.export(fn)(
-            jax.ShapeDtypeStruct((b, 3, img, img), jnp.float32),
-            jax.ShapeDtypeStruct((b, e, 2), jnp.float32))
+        exp = jexport.export(fn)(*specs(b))
         with open(os.path.join(out_dir, f"predict_b{b}.bin"), "wb") as f:
             f.write(exp.serialize())
     np.savez(os.path.join(out_dir, "anchors.npz"),
@@ -168,6 +234,7 @@ def export_predictor(detector: AnomalyDetector, out_dir: str,
             "batch_sizes": sorted(batch_sizes),
             "classes": detector.class_names(),
             "platforms": list(exp.platforms),
+            "weights": weights,
         }, f, indent=1)
 
 
@@ -194,6 +261,12 @@ class ExportedPredictor:
                         np.load(os.path.join(path, "anchors.npz")).items()}
         self._path = path
         self._programs: Dict[int, object] = {}
+        self._weights = None
+        if self.manifest.get("weights", "baked") == "external":
+            flat = {k: jnp.asarray(v) for k, v in
+                    np.load(os.path.join(path, "weights.npz")).items()}
+            tree = _unflatten_tree(flat)
+            self._weights = (tree["frozen"], tree["trainable"])
 
     def class_names(self) -> List[str]:
         return list(self.manifest["classes"])
@@ -230,8 +303,13 @@ class ExportedPredictor:
                                   np.float32)], axis=0)
         anchor = self.anchors[class_name]
         anchors_b = jnp.broadcast_to(anchor[None], (bucket,) + anchor.shape)
-        maps, scores = self._program(bucket).call(jnp.asarray(images),
-                                                  anchors_b)
+        program = self._program(bucket)
+        if self._weights is not None:
+            frozen, trainable = self._weights
+            maps, scores = program.call(frozen, trainable,
+                                        jnp.asarray(images), anchors_b)
+        else:
+            maps, scores = program.call(jnp.asarray(images), anchors_b)
         return np.asarray(maps)[:n], np.asarray(scores)[:n]
 
 

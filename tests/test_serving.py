@@ -135,9 +135,11 @@ def test_micro_batching_service(trained, rng):
         svc.close()
 
 
-def test_exported_predictor_roundtrip(trained, rng, tmp_path):
+@pytest.mark.parametrize("weights", ["external", "baked"])
+def test_exported_predictor_roundtrip(trained, rng, tmp_path, weights):
     """export_predictor artifacts reload without model code and reproduce
-    the live detector's outputs, incl. bucket padding and oversize splits."""
+    the live detector's outputs, incl. bucket padding and oversize splits —
+    in both weight modes (external weights.npz / baked StableHLO consts)."""
     from aa_clip_iqm_tpu.serving import ExportedPredictor, export_predictor
 
     root, save_path, cfg, frozen = trained
@@ -146,7 +148,7 @@ def test_exported_predictor_roundtrip(trained, rng, tmp_path):
         img_size=IMG, adapted_text=True, compute_dtype=np.float32,
         use_pallas=False)
     out = str(tmp_path / "exported")
-    export_predictor(det, out, batch_sizes=(1, 2))
+    export_predictor(det, out, batch_sizes=(1, 2), weights=weights)
 
     pred = ExportedPredictor(out)
     assert pred.class_names() == ["widget"]

@@ -36,6 +36,10 @@ def main():
     p.add_argument("--random_backbone", action="store_true")
     p.add_argument("--batches", type=int, nargs="+", default=[1, 8, 16])
     p.add_argument("--no_pallas", action="store_true")
+    p.add_argument("--baked", action="store_true",
+                   help="embed weights as StableHLO constants instead of the "
+                        "default external weights.npz (self-contained but "
+                        "~1.3 GB at ViT-L scale with slow deserialization)")
     p.add_argument("--check", action="store_true",
                    help="reload the artifacts and run one batch")
     args = p.parse_args()
@@ -50,7 +54,8 @@ def main():
         args.save_path, args.dataset, img_size=args.img_size,
         backbone=args.backbone, allow_random_backbone=args.random_backbone,
         model_name=args.model_name, use_pallas=not args.no_pallas)
-    export_predictor(det, args.out, batch_sizes=tuple(args.batches))
+    export_predictor(det, args.out, batch_sizes=tuple(args.batches),
+                     weights="baked" if args.baked else "external")
     print(f"exported {sorted(args.batches)} -> {args.out}")
 
     if args.check:
