@@ -288,6 +288,11 @@ class ExportedPredictor:
         if class_name not in self.anchors:
             raise KeyError(
                 f"unknown class {class_name!r}; available: {self.class_names()}")
+        img = self.img_size
+        if images.ndim != 4 or images.shape[1:] != (3, img, img):
+            raise ValueError(
+                f"expected (B, 3, {img}, {img}) images (the exported "
+                f"programs are shape-specialized), got {images.shape}")
         n = images.shape[0]
         sizes = self.manifest["batch_sizes"]
         fitting = [b for b in sizes if b >= n]
@@ -326,11 +331,15 @@ class MicroBatchingService:
         fut = svc.submit(image, "bottle")      # non-blocking
         amap, score = fut.result()
         svc.close()
+
+    `detector` is anything with the bucketed-predict contract
+    (`predict(images, class_name) -> (maps, scores)`): a live
+    :class:`AnomalyDetector` or an artifact-backed :class:`ExportedPredictor`.
     """
 
     _STOP = object()
 
-    def __init__(self, detector: AnomalyDetector, max_batch: int = 32,
+    def __init__(self, detector, max_batch: int = 32,
                  max_latency_ms: float = 5.0):
         import queue
         import threading

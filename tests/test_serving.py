@@ -166,3 +166,38 @@ def test_exported_predictor_roundtrip(trained, rng, tmp_path, weights):
                                    atol=1e-5)
     with pytest.raises(KeyError, match="unknown class"):
         pred.predict(images[:1], "nope")
+
+
+def test_micro_batching_over_exported(trained, rng, tmp_path):
+    """MicroBatchingService composes with the artifact-backed predictor
+    (same bucketed-predict contract as the live detector)."""
+    from aa_clip_iqm_tpu.serving import (
+        ExportedPredictor,
+        MicroBatchingService,
+        export_predictor,
+    )
+
+    root, save_path, cfg, frozen = trained
+    det = AnomalyDetector(
+        frozen, _restored_trainable(save_path, cfg), cfg, "Synth",
+        img_size=IMG, adapted_text=True, compute_dtype=np.float32,
+        use_pallas=False)
+    out = str(tmp_path / "exported")
+    export_predictor(det, out, batch_sizes=(1, 2))
+    pred = ExportedPredictor(out)
+
+    images = rng.standard_normal((2, 3, IMG, IMG)).astype(np.float32)
+    ref_maps, ref_scores = det.predict(images, "widget")
+    svc = MicroBatchingService(pred, max_batch=2, max_latency_ms=50.0)
+    try:
+        futs = [svc.submit(images[i], "widget") for i in range(2)]
+        for i, fut in enumerate(futs):
+            amap, score = fut.result(timeout=120)
+            np.testing.assert_allclose(amap, ref_maps[i], rtol=1e-4,
+                                       atol=1e-5)
+            np.testing.assert_allclose(score, ref_scores[i], rtol=1e-4,
+                                       atol=1e-5)
+    finally:
+        svc.close()
+    with pytest.raises(ValueError, match="shape-specialized"):
+        pred.predict(images[:, :, : IMG // 2], "widget")
