@@ -468,8 +468,7 @@ def _flash_packed_vv_bwd_kernelized(qkv, g, num_heads, scale, valid_len):
         g = jnp.pad(g, ((0, 0), (0, l_pad - in_len), (0, 0)))
     seq_len = valid_len if valid_len is not None else in_len
 
-    min_group = max(1, LANE // hd)
-    group = min_group
+    group = _bwd_group(num_heads, hd)
     panel = group * hd
     n_panels = num_heads // group
     sec_panels = w // panel
@@ -511,6 +510,21 @@ def _flash_packed_vv_bwd_kernelized(qkv, g, num_heads, scale, valid_len):
 # (blk, L) fp32 rows (p and ds) plus the dk/dv accumulators in VMEM.
 _BWD_VMEM_SCORE_BYTES = 2 * 1024 * 1024
 
+# Head-panel width for the backward kernels. None -> minimum legal
+# (128 // head_dim, i.e. 2 heads at hd=64). Wider panels shrink the grid
+# but grow the per-program VMEM accumulators; swept on v5e at ViT-L/518 —
+# see docs/DESIGN.md.
+BWD_GROUP_HEADS = None
+
+
+def _bwd_group(num_heads: int, hd: int) -> int:
+    min_group = max(1, LANE // hd)
+    group = BWD_GROUP_HEADS or min_group
+    group = max(group, min_group)
+    while num_heads % group:
+        group -= 1
+    return max(group, min_group)
+
 
 def _choose_bwd_blk_q(seq_len: int) -> int:
     return _choose_blk(seq_len, _BWD_VMEM_SCORE_BYTES)
@@ -528,8 +542,7 @@ def _flash_packed_bwd_kernelized(qkv, g, num_heads, scale, valid_len):
         g = jnp.pad(g, ((0, 0), (0, l_pad - in_len), (0, 0)))
     seq_len = valid_len if valid_len is not None else in_len
 
-    min_group = max(1, LANE // hd)
-    group = min_group
+    group = _bwd_group(num_heads, hd)
     panel = group * hd
     n_panels = num_heads // group
     sec_panels = w // panel
