@@ -190,6 +190,7 @@ def export_predictor(detector: AnomalyDetector, out_dir: str,
         raise ValueError(f"weights must be 'external' or 'baked', got {weights!r}")
     os.makedirs(out_dir, exist_ok=True)
     img, e = detector.img_size, detector.cfg.clip.embed_dim
+    bf16_keys: list = []
 
     if weights == "external":
         fn = detector._predict  # already jitted with (frozen, trainable, ...)
@@ -206,8 +207,14 @@ def export_predictor(detector: AnomalyDetector, out_dir: str,
 
         flat = {**_flatten_tree({"frozen": detector.frozen}),
                 **_flatten_tree({"trainable": detector.trainable})}
+        # npz cannot represent bfloat16: store such leaves as float32 and
+        # record them so the loader restores the exact exported dtypes (the
+        # serialized program's signature is dtype-strict).
+        bf16_keys = [k for k, v in flat.items()
+                     if jnp.asarray(v).dtype == jnp.bfloat16]
         np.savez(os.path.join(out_dir, "weights.npz"),
-                 **{k: np.asarray(v) for k, v in flat.items()})
+                 **{k: (np.asarray(v, np.float32) if k in set(bf16_keys)
+                        else np.asarray(v)) for k, v in flat.items()})
     else:
         def baked(images, anchors):
             return detector._predict(detector.frozen, detector.trainable,
@@ -235,6 +242,7 @@ def export_predictor(detector: AnomalyDetector, out_dir: str,
             "classes": detector.class_names(),
             "platforms": list(exp.platforms),
             "weights": weights,
+            "bf16_keys": bf16_keys,
         }, f, indent=1)
 
 
@@ -263,7 +271,9 @@ class ExportedPredictor:
         self._programs: Dict[int, object] = {}
         self._weights = None
         if self.manifest.get("weights", "baked") == "external":
-            flat = {k: jnp.asarray(v) for k, v in
+            bf16 = set(self.manifest.get("bf16_keys", []))
+            flat = {k: jnp.asarray(v, jnp.bfloat16 if k in bf16 else None)
+                    for k, v in
                     np.load(os.path.join(path, "weights.npz")).items()}
             tree = _unflatten_tree(flat)
             self._weights = (tree["frozen"], tree["trainable"])

@@ -201,3 +201,34 @@ def test_micro_batching_over_exported(trained, rng, tmp_path):
         svc.close()
     with pytest.raises(ValueError, match="shape-specialized"):
         pred.predict(images[:, :, : IMG // 2], "widget")
+
+
+def test_exported_predictor_bf16_weights(trained, rng, tmp_path):
+    """bfloat16 leaves survive the external weights.npz round trip (npz has
+    no bf16 dtype: saved as fp32, restored to the exported signature's
+    dtype via the manifest's bf16_keys)."""
+    import jax.numpy as jnp
+
+    from aa_clip_iqm_tpu.serving import ExportedPredictor, export_predictor
+
+    root, save_path, cfg, frozen = trained
+    trainable = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16),
+                             _restored_trainable(save_path, cfg))
+    det = AnomalyDetector(
+        frozen, trainable, cfg, "Synth", img_size=IMG, adapted_text=True,
+        compute_dtype=np.float32, use_pallas=False)
+    out = str(tmp_path / "exported")
+    export_predictor(det, out, batch_sizes=(2,))
+
+    import json
+    with open(os.path.join(out, "manifest.json")) as f:
+        manifest = json.load(f)
+    assert manifest["bf16_keys"] and all(
+        k.startswith("trainable/") for k in manifest["bf16_keys"])
+
+    images = rng.standard_normal((2, 3, IMG, IMG)).astype(np.float32)
+    ref_maps, ref_scores = det.predict(images, "widget")
+    pred = ExportedPredictor(out)
+    maps, scores = pred.predict(images, "widget")
+    np.testing.assert_allclose(maps, ref_maps, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(scores, ref_scores, rtol=1e-4, atol=1e-5)
