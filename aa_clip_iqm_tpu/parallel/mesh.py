@@ -51,13 +51,31 @@ def make_multislice_mesh(n_slices: int, n_data: Optional[int] = None,
     """
     devices = list(devices) if devices is not None else jax.devices()
     slice_ids = {getattr(d, "slice_index", None) for d in devices}
-    if len(slice_ids) > 1 and None not in slice_ids:
+    multislice_hw = len(slice_ids) > 1 and None not in slice_ids
+    if multislice_hw:
         devices = sorted(devices, key=lambda d: (d.slice_index, d.id))
     per_slice = len(devices) // n_slices
     if n_data is None:
         n_data = per_slice // n_model
     need = n_slices * n_data * n_model
+    if len(devices) < need:
+        raise ValueError(
+            f"make_multislice_mesh needs {need} devices "
+            f"({n_slices} slices x {n_data} data x {n_model} model), "
+            f"only {len(devices)} available")
     arr = np.asarray(devices[:need]).reshape(n_slices, n_data, n_model)
+    if multislice_hw:
+        # The documented DCN mapping requires each 'replica' row to live in
+        # exactly one physical slice; a short device list (need < available)
+        # could otherwise straddle slice boundaries after truncation.
+        for row in arr:
+            row_slices = {d.slice_index for d in row.ravel()}
+            if len(row_slices) != 1:
+                raise ValueError(
+                    "mesh row spans physical slices "
+                    f"{sorted(row_slices)}; pass a device list whose "
+                    "per-slice counts match n_data*n_model so each "
+                    "'replica' row maps to one slice (DCN tier contract)")
     return Mesh(arr, axis_names=("replica", "data", "model"))
 
 

@@ -32,13 +32,22 @@ from .train import checkpoint as ckpt
 from .train.driver import compute_frozen_anchors
 
 
+#: Default compile-once batch buckets. predict() pads ragged caller batches
+#: up to the smallest fitting bucket and splits oversize batches into
+#: largest-bucket chunks, so the number of distinct compiled programs is
+#: bounded by len(buckets) no matter what batch sizes callers send (a fresh
+#: ViT-L shape costs minutes of compile).
+DEFAULT_BATCH_BUCKETS = (1, 8, 16, 32)
+
+
 class AnomalyDetector:
     """Batched anomaly-map inference for one dataset's class vocabulary."""
 
     def __init__(self, frozen, trainable, model_cfg: ModelConfig,
                  dataset: str, img_size: int = 518, adapted_text: bool = True,
                  compute_dtype=jnp.bfloat16, use_pallas: bool = True,
-                 text_weight: float = 0.6, iqm_weight: float = 0.4):
+                 text_weight: float = 0.6, iqm_weight: float = 0.4,
+                 batch_buckets: Sequence[int] = DEFAULT_BATCH_BUCKETS):
         # use_pallas is safe on any backend: the attention wrapper falls back
         # to the XLA path off-TPU (ops/attention._packed_pallas_ok).
         self.frozen = frozen
@@ -47,6 +56,11 @@ class AnomalyDetector:
         self.dataset = dataset
         self.img_size = img_size
         self.domain = DOMAINS.get(dataset, "Industrial")
+        if not batch_buckets or any(b <= 0 for b in batch_buckets):
+            raise ValueError(
+                f"batch_buckets must be non-empty positive ints, "
+                f"got {batch_buckets!r}")
+        self._buckets = tuple(sorted(set(int(b) for b in batch_buckets)))
         self._predict = make_predict_fn(
             model_cfg, img_size, self.domain, compute_dtype=compute_dtype,
             use_pallas=use_pallas, text_weight=text_weight,
@@ -91,18 +105,25 @@ class AnomalyDetector:
         """images: (B, 3, H, W) float32, CLIP-normalized, H=W=img_size.
         Returns (anomaly maps (B, H, W) float32, image scores (B,)).
 
-        Ragged batch sizes are padded to a small bucket before dispatch so
-        the jitted program compiles once per *bucket*, not once per caller
-        batch shape (ViT-L compiles cost minutes on a fresh cache); the
-        padding is sliced off the outputs.
+        Ragged batch sizes are padded up to the smallest fitting bucket from
+        `batch_buckets` before dispatch; batches larger than the biggest
+        bucket are split into largest-bucket chunks. The jitted program
+        therefore compiles at most once per *bucket* — never once per caller
+        batch shape (ViT-L compiles cost minutes on a fresh cache). Padding
+        is sliced off the outputs.
         """
         if class_name not in self.anchors:
             raise KeyError(
                 f"unknown class {class_name!r}; available: {self.class_names()}")
-        from .evaluation.predict import _bucket
-
         n = images.shape[0]
-        bucket = _bucket(n, multiple=8) if n > 1 else 1
+        fitting = [b for b in self._buckets if b >= n]
+        if not fitting:  # larger than the biggest bucket: split
+            bucket = self._buckets[-1]
+            maps, scores = zip(*(
+                self.predict(images[i:i + bucket], class_name)
+                for i in range(0, n, bucket)))
+            return np.concatenate(maps), np.concatenate(scores)
+        bucket = fitting[0]
         if bucket != n:
             images = np.concatenate(
                 [images, np.zeros((bucket - n,) + tuple(images.shape[1:]),
@@ -188,6 +209,9 @@ def export_predictor(detector: AnomalyDetector, out_dir: str,
 
     if weights not in ("external", "baked"):
         raise ValueError(f"weights must be 'external' or 'baked', got {weights!r}")
+    if not batch_sizes or any(int(b) <= 0 for b in batch_sizes):
+        raise ValueError(
+            f"batch_sizes must be non-empty positive ints, got {batch_sizes!r}")
     os.makedirs(out_dir, exist_ok=True)
     img, e = detector.img_size, detector.cfg.clip.embed_dim
     bf16_keys: list = []
@@ -358,14 +382,23 @@ class MicroBatchingService:
         self.max_batch = max_batch
         self.max_latency = max_latency_ms / 1000.0
         self._queue: "queue.Queue" = queue.Queue()
+        self._closed = False
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
     def submit(self, image: np.ndarray, class_name: str):
         """image: (3, H, W) CLIP-normalized. Returns a Future resolving to
-        (anomaly map (H, W), image score)."""
+        (anomaly map (H, W), image score).
+
+        Raises RuntimeError once close() has been called — a submit racing
+        with close() either wins (its future resolves normally) or its
+        request is failed with RuntimeError by the worker's shutdown drain;
+        no future is ever silently dropped.
+        """
         from concurrent.futures import Future
 
+        if self._closed:
+            raise RuntimeError("MicroBatchingService is closed")
         if image.ndim != 3:
             raise ValueError(f"expected one (3, H, W) image, got {image.shape}")
         fut: Future = Future()
@@ -377,7 +410,11 @@ class MicroBatchingService:
         return self.submit(image, class_name).result()
 
     def close(self):
-        self._queue.put(self._STOP)
+        """Idempotent shutdown: in-flight requests still resolve; anything
+        enqueued behind the STOP sentinel is drained with RuntimeError."""
+        if not self._closed:
+            self._closed = True
+            self._queue.put(self._STOP)
         self._worker.join()
 
     # ------------------------------------------------------------------
@@ -388,6 +425,7 @@ class MicroBatchingService:
         while True:
             item = self._queue.get()
             if item is self._STOP:
+                self._drain()
                 return
             batch = [item]
             deadline = time.monotonic() + self.max_latency
@@ -402,9 +440,24 @@ class MicroBatchingService:
                     break
                 if nxt is self._STOP:
                     self._flush(batch)
+                    self._drain()
                     return
                 batch.append(nxt)
             self._flush(batch)
+
+    def _drain(self):
+        """Fail any requests that raced past close() behind the sentinel."""
+        import queue
+
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                return
+            if item is not self._STOP:
+                item[2].set_exception(
+                    RuntimeError("MicroBatchingService closed before "
+                                 "this request was served"))
 
     def _flush(self, batch):
         by_class: Dict[str, list] = {}

@@ -167,12 +167,16 @@ def run_stage2(frozen, trainable, model_cfg: ModelConfig,
     opt_state = jax.tree.map(
         lambda x: x.copy() if isinstance(x, jax.Array) else x, opt_state)
     patch_drop = model_cfg.clip.vision.patch_dropout > 0.0
-    if patch_drop:
-        drop_rng = jax.random.PRNGKey(train_cfg.seed)
 
     n_dev = 1 if mesh is None else mesh.devices.size
     for epoch in range(start_epoch, train_cfg.image_epoch):
         logger.info("training image epoch %d:", epoch)
+        if patch_drop:
+            # Per-epoch key derivation: a resumed run (start_epoch > 0)
+            # continues the dropout-mask sequence at its epoch instead of
+            # replaying the sequence from epoch 0.
+            drop_rng = jax.random.fold_in(
+                jax.random.PRNGKey(train_cfg.seed), epoch)
         losses = []
         t0 = time.time()
         for batch in prefetch(image_dataset.batches(

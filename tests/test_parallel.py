@@ -187,3 +187,18 @@ def test_stage1_step_data_parallel(model, batch):
     diff = np.abs(np.asarray(new_params["layers"]["w"]) -
                   np.asarray(text_params["layers"]["w"])).max()
     assert diff > 0
+
+
+def test_multislice_mesh_validates_device_count():
+    """make_multislice_mesh refuses silently-short device lists (ADVICE r2):
+    asking for more mesh cells than devices is an error, not a truncation."""
+    import pytest
+
+    devices = jax.devices()
+    with pytest.raises(ValueError, match="devices"):
+        mesh_mod.make_multislice_mesh(2, n_data=len(devices), n_model=2,
+                                      devices=devices)
+    # Exact fit still works.
+    mesh = mesh_mod.make_multislice_mesh(2, n_data=len(devices) // 4,
+                                         n_model=2, devices=devices)
+    assert mesh.devices.shape == (2, len(devices) // 4, 2)
