@@ -37,6 +37,13 @@ def build_model_config(model_name: str = "ViT-L-14-336", img_size: int = 518,
                        iqm_num_layers: int = 2, iqm_num_heads: int = 8,
                        surgery_until_layer: int = 20,
                        patch_dropout: float = 0.0) -> ModelConfig:
+    if model_name == "tiny-test":
+        # Miniature architecture for CLI dry-runs (tools/parity_run.py CI
+        # path, fast drives): ignores the adapter/IQM size knobs and uses
+        # the same tiny dims the unit tests exercise.
+        from .configs import tiny_test_config
+
+        return tiny_test_config(img_size)
     clip_cfg = get_model_config(model_name, img_size=img_size)
     from .configs import ResNetVisionConfig
 

@@ -152,7 +152,8 @@ def torch_state_dict_to_params(sd: Dict[str, "np.ndarray"], cfg: CLIPConfig):
     the visual positional embedding to cfg.vision.image_size. Dispatches to
     the ModifiedResNet mapping for RN configs (list-typed vision layers,
     model/clip.py:129-130)."""
-    sd = {k: np.asarray(v) for k, v in sd.items()}
+    if not all(isinstance(v, np.ndarray) for v in sd.values()):
+        sd = {k: np.asarray(v) for k, v in sd.items()}
     from ..configs import ResNetVisionConfig
 
     if isinstance(cfg.vision, ResNetVisionConfig):

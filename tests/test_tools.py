@@ -77,3 +77,56 @@ def test_aot_smoke_tool():
                          text=True, env=env, timeout=1800)
     assert out.returncode == 0, out.stdout + out.stderr
     assert "AOT smoke OK" in out.stdout
+
+
+def test_parity_run_dry_run(tmp_path):
+    """tools/parity_run.py end-to-end on synthetic data + random tiny
+    backbone (VERDICT r2 next-round item 1): tables land on disk, deltas vs
+    an anchor table drive the exit code (0 in budget, 1 out of budget)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import parity_run
+
+    from aa_clip_iqm_tpu.data.synthetic import register_synthetic
+
+    root = str(tmp_path)
+    generate(root, n_normal=4, n_anomalous=4, size=56, seed=7,
+             class_names=("widget",))
+    metadata_root = register_synthetic(root)
+
+    base = ["--model_name", "tiny-test", "--img_size", "56",
+            "--random_backbone", "--datasets", "Synth",
+            "--metadata_root", metadata_root, "--image_batch_size", "4",
+            "--compute_dtype", "float32"]
+
+    out1 = str(tmp_path / "rep1")
+    assert parity_run.main(base + ["--out", out1]) == 0
+    with open(os.path.join(out1, "report.json")) as f:
+        summary = json.load(f)
+    avg = summary["datasets"]["Synth"]["average"]
+    assert set(avg) == {"pixel AUC", "pixel AP", "image AUC", "image AP"}
+    assert summary["datasets"]["Synth"]["pass"] is None  # no anchor table
+    assert os.path.isfile(os.path.join(out1, "Synth.txt"))
+    assert os.path.isfile(os.path.join(out1, "report.md"))
+
+    # Anchor table at the measured numbers -> PASS.
+    table = str(tmp_path / "anchor.json")
+    with open(table, "w") as f:
+        json.dump({"Synth": avg}, f)
+    out2 = str(tmp_path / "rep2")
+    assert parity_run.main(base + ["--out", out2,
+                                   "--anchor_table", table]) == 0
+    with open(os.path.join(out2, "report.json")) as f:
+        assert json.load(f)["datasets"]["Synth"]["pass"] is True
+
+    # Anchor shifted beyond the budget -> FAIL exit code.
+    shifted = dict(avg)
+    shifted["pixel AUC"] = avg["pixel AUC"] + 5.0
+    with open(table, "w") as f:
+        json.dump({"Synth": shifted}, f)
+    out3 = str(tmp_path / "rep3")
+    assert parity_run.main(base + ["--out", out3,
+                                   "--anchor_table", table]) == 1
+    with open(os.path.join(out3, "report.json")) as f:
+        rep = json.load(f)
+    assert rep["failed"] == ["Synth"]
+    assert abs(rep["datasets"]["Synth"]["delta"]["pixel AUC"] + 5.0) < 1e-6

@@ -1,0 +1,234 @@
+#!/usr/bin/env python
+"""One-command real-weights parity run (VERDICT r2 next-round item 1).
+
+Goes checkpoint -> convert -> [optionally import reference .pth adapters]
+-> per-dataset metric tables -> delta report against an expected-numbers
+table, in one invocation (reference flow: test_last.py:273-327):
+
+    python tools/parity_run.py \
+        --backbone /weights/ViT-L-14-336px.pt \
+        --datasets MVTec VisA \
+        --save_path ckpt/baseline \
+        --anchor_table docs/paper_numbers.json \
+        --out parity_report
+
+Modes for the adaptation weights (mutually exclusive):
+  --save_path DIR        our orbax checkpoints (stage1 + latest stage2)
+  --reference_ckpt DIR   the PyTorch reference's text_adapter.pth /
+                         image_adapter_N.pth (imported via
+                         models/convert.import_reference_checkpoints)
+  neither                zero-shot (raw CLIP anchors, untrained adapters)
+
+The anchor table is a JSON file {dataset: {metric: value}} with metrics from
+{"pixel AUC", "pixel AP", "image AUC", "image AP"} — fill it from the
+AA-CLIP paper tables (arXiv 2503.06661) or from a run of the PyTorch
+reference; this repo deliberately ships no transcribed numbers
+(BASELINE.md: the reference publishes none in-repo). Each dataset's Average
+row is diffed against it; any |pixel AUC delta| > --budget (default 0.2pt,
+the north-star tolerance in BASELINE.json) fails the run with exit code 1.
+
+Outputs under --out:
+  {dataset}.json      per-class rows + Average
+  {dataset}.txt       the reference-style pandas table
+  report.md           summary + deltas + PASS/FAIL per dataset
+  report.json         machine-readable summary (exit-code mirror)
+
+Dry-run (CI, no weights/datasets needed): --random_backbone plus synthetic
+datasets registered via AACLIP_DATA_ROOT/AACLIP_METADATA_ROOT — exercised
+end-to-end by tests/test_tools.py.
+"""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+from aa_clip_iqm_tpu.platform import apply_platform_override  # noqa: E402
+
+apply_platform_override()
+
+
+METRICS = ("pixel AUC", "pixel AP", "image AUC", "image AP")
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        description="one-command parity run: checkpoint -> tables -> deltas")
+    p.add_argument("--model_name", default="ViT-L-14-336")
+    p.add_argument("--img_size", type=int, default=518)
+    p.add_argument("--backbone", default=None,
+                   help="OpenAI .pt checkpoint or converted .npz cache")
+    p.add_argument("--random_backbone", action="store_true",
+                   help="dry-run mode: random backbone weights")
+    p.add_argument("--datasets", nargs="+", default=["MVTec", "VisA"])
+    p.add_argument("--save_path", default=None,
+                   help="our training save_path (orbax checkpoints)")
+    p.add_argument("--reference_ckpt", default=None,
+                   help="PyTorch-reference checkpoint dir (.pth adapters)")
+    p.add_argument("--anchor_table", default=None,
+                   help="JSON {dataset: {metric: expected}} to diff against")
+    p.add_argument("--budget", type=float, default=0.2,
+                   help="max |pixel AUC delta| (points) before FAIL")
+    p.add_argument("--out", default="parity_report")
+    p.add_argument("--metadata_root", default=None)
+    p.add_argument("--image_batch_size", type=int, default=32)
+    p.add_argument("--compute_dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--use_pallas", action="store_true")
+    p.add_argument("--seed", type=int, default=111)
+    p.add_argument("--relu", action="store_true")
+    return p
+
+
+def run_dataset(args, dataset, frozen, trainable, model_cfg, adapt_text,
+                dtype, logger):
+    from aa_clip_iqm_tpu.configs import EvalConfig
+    from aa_clip_iqm_tpu.data.datasets import get_dataset
+    from aa_clip_iqm_tpu.evaluation.predict import (
+        evaluate_dataset,
+        results_table,
+    )
+    from aa_clip_iqm_tpu.train.driver import compute_frozen_anchors
+
+    anchors = compute_frozen_anchors(frozen, trainable, model_cfg, dataset,
+                                     adapted=adapt_text, compute_dtype=dtype)
+    datasets = get_dataset(dataset, args.img_size, None, -1, "test",
+                           logger=logger, metadata_root=args.metadata_root)
+    eval_cfg = EvalConfig(
+        dataset=dataset, img_size=args.img_size,
+        batch_size=args.image_batch_size, seed=args.seed,
+        save_path=args.out, compute_dtype=args.compute_dtype)
+    rows = evaluate_dataset(frozen, trainable, model_cfg, eval_cfg, datasets,
+                            anchors, logger=logger, compute_dtype=dtype,
+                            use_pallas=args.use_pallas)
+    return rows, results_table(rows)
+
+
+def average_row(rows):
+    for row in rows:
+        if row.get("class name") == "Average":
+            return row
+    raise RuntimeError("no Average row in results")
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.save_path and args.reference_ckpt:
+        raise SystemExit("--save_path and --reference_ckpt are exclusive")
+
+    import jax.numpy as jnp
+
+    from aa_clip_iqm_tpu.loader import (
+        build_model_config,
+        init_trainable,
+        load_frozen_backbone,
+    )
+    from aa_clip_iqm_tpu.train import checkpoint as ckpt
+    from aa_clip_iqm_tpu.utils import setup_logger, setup_seed
+
+    setup_seed(args.seed)
+    os.makedirs(args.out, exist_ok=True)
+    logger = setup_logger(args.out, "parity.log")
+    logger.info("parity run args: %s", vars(args))
+
+    model_cfg = build_model_config(model_name=args.model_name,
+                                   img_size=args.img_size, relu=args.relu)
+    frozen = load_frozen_backbone(model_cfg, args.backbone,
+                                  allow_random=args.random_backbone)
+    trainable = init_trainable(model_cfg, seed=args.seed)
+    dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
+        args.compute_dtype]
+
+    adapt_text = False
+    weights_mode = "zero-shot"
+    if args.reference_ckpt:
+        from aa_clip_iqm_tpu.models.convert import import_reference_checkpoints
+
+        trainable = import_reference_checkpoints(args.reference_ckpt,
+                                                 trainable, relu=args.relu)
+        adapt_text = os.path.isfile(
+            os.path.join(args.reference_ckpt, "text_adapter.pth"))
+        weights_mode = f"reference adapters ({args.reference_ckpt})"
+    elif args.save_path:
+        restored_text = ckpt.load_stage1(args.save_path,
+                                         trainable["text_adapter"])
+        if restored_text is not None:
+            trainable = dict(trainable)
+            trainable["text_adapter"] = restored_text["params"]
+            adapt_text = True
+        restored = ckpt.load_stage2(args.save_path, trainable,
+                                    latest_numbered=True)
+        if restored is None:
+            raise SystemExit(
+                f"no stage-2 checkpoint under {args.save_path}")
+        trainable = restored["params"]
+        weights_mode = (f"trained checkpoint ({args.save_path}, "
+                        f"epoch {restored['epoch']})")
+
+    anchor_table = {}
+    if args.anchor_table:
+        with open(args.anchor_table) as f:
+            anchor_table = json.load(f)
+
+    summary = {"weights": weights_mode, "budget_pt": args.budget,
+               "datasets": {}}
+    failed = []
+    report = [
+        "# Parity report", "",
+        f"- weights: {weights_mode}",
+        f"- backbone: "
+        f"{'RANDOM (dry run)' if args.random_backbone else args.backbone}",
+        f"- operating point: {args.model_name} @ {args.img_size}px, "
+        f"{args.compute_dtype}",
+        f"- budget: |pixel AUC delta| <= {args.budget}pt "
+        "(BASELINE.json north-star)", "",
+    ]
+    for dataset in args.datasets:
+        rows, table = run_dataset(args, dataset, frozen, trainable,
+                                  model_cfg, adapt_text, dtype, logger)
+        with open(os.path.join(args.out, f"{dataset}.json"), "w") as f:
+            json.dump(rows, f, indent=1)
+        with open(os.path.join(args.out, f"{dataset}.txt"), "w") as f:
+            f.write(table + "\n")
+        avg = average_row(rows)
+        entry = {"average": {m: avg.get(m) for m in METRICS}}
+        report += [f"## {dataset}", "", "```", table, "```", ""]
+        expected = anchor_table.get(dataset)
+        if expected:
+            deltas = {m: round(avg[m] - expected[m], 3)
+                      for m in METRICS if m in expected and m in avg}
+            entry["expected"] = expected
+            entry["delta"] = deltas
+            ok = abs(deltas.get("pixel AUC", 0.0)) <= args.budget
+            entry["pass"] = ok
+            if not ok:
+                failed.append(dataset)
+            report.append(
+                f"deltas vs expected: {deltas} -> "
+                f"{'PASS' if ok else 'FAIL'} (budget {args.budget}pt)")
+        else:
+            entry["pass"] = None
+            report.append("_no expected numbers supplied for this dataset "
+                          "(pass --anchor_table); deltas not evaluated_")
+        report.append("")
+        summary["datasets"][dataset] = entry
+        print(f"[{dataset}]")
+        print(table)
+
+    summary["failed"] = failed
+    with open(os.path.join(args.out, "report.md"), "w") as f:
+        f.write("\n".join(report))
+    with open(os.path.join(args.out, "report.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    if failed:
+        print(f"PARITY FAIL: {failed} exceeded the {args.budget}pt "
+              "pixel-AUC budget")
+        return 1
+    print(f"parity run complete -> {args.out}/report.md")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
