@@ -53,7 +53,13 @@ def xavier_linear(rng, d_in: int, d_out: int, bias: bool = True):
 
 
 def linear(params, x, precision=None):
-    """y = x @ W + b. W stored (in, out)."""
+    """y = x @ W + b. W stored (in, out). Params carrying an int8-quantized
+    weight ({"w_q", "scale"} from ops.quant) dispatch to the int8 MXU path —
+    one hook point covers every projection in the model."""
+    if "w_q" in params:
+        from .quant import int8_linear
+
+        return int8_linear(params, x)
     y = jnp.dot(x, params["w"].astype(x.dtype), precision=precision,
                 preferred_element_type=jnp.float32)
     if "b" in params and params["b"] is not None:

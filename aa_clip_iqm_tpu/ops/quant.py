@@ -1,0 +1,115 @@
+"""Int8 quantized inference tier for the frozen CLIP backbone.
+
+The backbone is frozen (the reference trains only adapters —
+/root/reference/train.py:322-350), which makes its big matmuls the textbook
+case for quantization: weights are static, so they are quantized ONCE at
+load time (per-output-channel symmetric int8), and activations are
+quantized dynamically per token at run time. Both dot operands then being
+int8, the MXU runs the contraction at its int8 rate (2x the bf16 peak on
+v5e) with int32 accumulation; the per-token x per-channel rescale is a
+cheap fused VPU epilogue.
+
+Scope: the visual-tower block matmuls (qkv, out-proj, c_fc, c_proj) — ~82%
+of the 518px inference FLOPs (bench derivation in cli/bench.py). LayerNorm,
+attention softmax/PV, embeddings, the final proj, the text tower, and every
+adapter/IQM matmul stay in the caller's compute dtype: they are cheap,
+and keeping the score head + anchors full-precision protects the anomaly
+-map numerics the same way the bf16 tier keeps LayerNorm fp32.
+
+This is an inference tier only: `jnp.round` has zero gradient, so the
+quantized pytree must not be used for the backbone of a *trainable* path
+(the frozen backbone takes no gradients in stage 2, but stage-1/2 training
+keeps the fp backbone for exactness; see docs/DESIGN.md for the measured
+numerics bounds).
+
+No reference analogue (the reference runs strict fp32; SURVEY.md §6).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def quantize_linear_params(p):
+    """{"w": (..., in, out) [, "b"]} -> {"w_q": int8, "scale": (..., 1, out)
+    fp32 [, "b"]}. Per-output-channel symmetric: scale = max|w_col| / 127.
+    Host-side numpy (load-time, like the checkpoint converter)."""
+    w = np.asarray(p["w"], np.float32)
+    scale = np.max(np.abs(w), axis=-2, keepdims=True) / 127.0
+    scale = np.maximum(scale, 1e-12).astype(np.float32)
+    w_q = np.clip(np.rint(w / scale), -127, 127).astype(np.int8)
+    out = {"w_q": jnp.asarray(w_q), "scale": jnp.asarray(scale)}
+    if "b" in p and p["b"] is not None:
+        out["b"] = p["b"]
+    return out
+
+
+def int8_linear(qp, x):
+    """y = dequant(quant(x) @ w_q) + b with dynamic per-token activation
+    scales. x: (..., in) any float dtype; returns x.dtype.
+
+    The contraction is int8 x int8 -> int32 (`preferred_element_type`), the
+    layout XLA lowers onto the TPU int8 MXU path; the rescale
+    (s_x * scale) broadcasts (..., 1) x (1, out) into the epilogue.
+    """
+    w_q, scale = qp["w_q"], qp["scale"]
+    x32 = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+    s_x = jnp.maximum(amax, 1e-6) * (1.0 / 127.0)
+    x_q = jnp.clip(jnp.round(x32 / s_x), -127, 127).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        x_q, w_q,
+        dimension_numbers=(((x_q.ndim - 1,), (w_q.ndim - 2,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * s_x * scale.reshape(scale.shape[-1])
+    if "b" in qp and qp["b"] is not None:
+        y = y + qp["b"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def _quantize_block_tree(blocks):
+    """Stacked-block pytree -> same structure with the four matmuls
+    quantized (ln_1/ln_2 untouched). Works on the (layers, ...) stacked
+    layout: scales get a per-layer leading axis and scan-slice like any
+    other leaf."""
+    return {
+        "ln_1": blocks["ln_1"],
+        "attn": {
+            "qkv": quantize_linear_params(blocks["attn"]["qkv"]),
+            "out": quantize_linear_params(blocks["attn"]["out"]),
+        },
+        "ln_2": blocks["ln_2"],
+        "mlp": {
+            "c_fc": quantize_linear_params(blocks["mlp"]["c_fc"]),
+            "c_proj": quantize_linear_params(blocks["mlp"]["c_proj"]),
+        },
+    }
+
+
+def quantize_backbone_int8(frozen):
+    """Frozen CLIP pytree -> copy with the visual-tower block matmuls in
+    int8. Everything else (visual embeddings/LNs/proj, the whole text tower,
+    logit_scale) is shared by reference with the input pytree.
+
+    The quantized pytree is a drop-in `frozen` argument for every inference
+    path (`ops.layers.linear` dispatches on the "w_q" key), including
+    encode_image_adapted and the fused predict program. Do not feed it to
+    `parallel.mesh.shard_backbone` (the TP sharding spec describes the fp
+    layout) or to a gradient path.
+    """
+    visual = dict(frozen["visual"])
+    if "blocks" not in visual:
+        raise ValueError("int8 tier supports the ViT tower only "
+                         "(ModifiedResNet is conv-dominated)")
+    visual["blocks"] = _quantize_block_tree(visual["blocks"])
+    out = dict(frozen)
+    out["visual"] = visual
+    return out
+
+
+def is_quantized(params) -> bool:
+    return any(isinstance(k, str) and k == "w_q"
+               for k in (path[-1].key if hasattr(path[-1], "key") else None
+                         for path, _ in
+                         jax.tree_util.tree_flatten_with_path(params)[0]))

@@ -1,0 +1,126 @@
+"""Int8 quantized inference tier (ops/quant.py): numerics bounds + drop-in
+compatibility with the fused predict pipeline."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from aa_clip_iqm_tpu.configs import tiny_test_config
+from aa_clip_iqm_tpu.models import adapters as adapters_mod
+from aa_clip_iqm_tpu.models.clip import init_clip_params, vision_forward
+from aa_clip_iqm_tpu.ops.layers import linear
+from aa_clip_iqm_tpu.ops.quant import (
+    int8_linear,
+    quantize_backbone_int8,
+    quantize_linear_params,
+)
+
+IMG = 56
+
+
+def test_int8_linear_error_bound(rng):
+    """Per-channel weight quant + per-token activation quant: relative error
+    of the product stays at the few-percent level typical of int8."""
+    d_in, d_out = 96, 64
+    p = {"w": rng.standard_normal((d_in, d_out)).astype(np.float32) * 0.05,
+         "b": rng.standard_normal(d_out).astype(np.float32) * 0.01}
+    x = jnp.asarray(rng.standard_normal((4, 17, d_in)).astype(np.float32))
+    ref = np.asarray(linear(p, x))
+    qp = quantize_linear_params(p)
+    assert qp["w_q"].dtype == jnp.int8
+    assert qp["scale"].shape == (1, d_out)
+    out = np.asarray(int8_linear(qp, x))
+    rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    assert rel < 0.02, rel
+    # the dispatch hook: linear() routes quantized params automatically
+    np.testing.assert_array_equal(np.asarray(linear(qp, x)), out)
+
+
+def test_int8_linear_stacked_layout(rng):
+    """Stacked (layers, in, out) weights quantize per layer per channel and
+    scan-slice like fp leaves (the block layout vision_forward scans)."""
+    L, d_in, d_out = 3, 32, 48
+    w = rng.standard_normal((L, d_in, d_out)).astype(np.float32) * 0.05
+    qp = quantize_linear_params({"w": w})
+    assert qp["w_q"].shape == (L, d_in, d_out)
+    assert qp["scale"].shape == (L, 1, d_out)
+    x = jnp.asarray(rng.standard_normal((2, 5, d_in)).astype(np.float32))
+    for i in range(L):
+        sl = jax.tree.map(lambda a: a[i], qp)
+        ref = np.asarray(linear({"w": w[i]}, x))
+        out = np.asarray(int8_linear(sl, x))
+        assert np.linalg.norm(out - ref) / np.linalg.norm(ref) < 0.03
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = tiny_test_config(IMG)
+    frozen = init_clip_params(jax.random.PRNGKey(0), cfg.clip)
+    trainable = adapters_mod.init_adapter_params(jax.random.PRNGKey(1), cfg)
+    return cfg, frozen, trainable
+
+
+def test_quantized_backbone_vision_forward(model, rng):
+    """The quantized pytree drops into vision_forward (scan over int8
+    leaves) and tracks the fp forward closely."""
+    cfg, frozen, _ = model
+    qfrozen = quantize_backbone_int8(frozen)
+    # fp leaves shared by reference, matmuls replaced
+    assert "w_q" in qfrozen["visual"]["blocks"]["attn"]["qkv"]
+    assert qfrozen["visual"]["ln_post"] is frozen["visual"]["ln_post"]
+    assert qfrozen["text"] is frozen["text"]
+
+    images = jnp.asarray(
+        rng.standard_normal((2, 3, IMG, IMG)).astype(np.float32))
+    pooled, taps, _ = vision_forward(
+        frozen["visual"], cfg.clip.vision, images,
+        out_layers=cfg.adapter.levels)
+    pooled_q, taps_q, _ = vision_forward(
+        qfrozen["visual"], cfg.clip.vision, images,
+        out_layers=cfg.adapter.levels)
+    corr = np.corrcoef(np.asarray(pooled).ravel(),
+                       np.asarray(pooled_q).ravel())[0, 1]
+    assert corr > 0.995, corr
+    for t, tq in zip(taps, taps_q):
+        corr = np.corrcoef(np.asarray(t).ravel(),
+                           np.asarray(tq).ravel())[0, 1]
+        assert corr > 0.995, corr
+
+
+def test_quantized_predict_pipeline(model, rng):
+    """End-to-end fused predict with the int8 backbone: finite outputs,
+    anomaly maps rank-correlated with the fp pipeline (the bf16-study
+    methodology, docs/DESIGN.md)."""
+    from scipy import stats
+
+    from aa_clip_iqm_tpu.evaluation.predict import make_predict_fn
+
+    cfg, frozen, trainable = model
+    qfrozen = quantize_backbone_int8(frozen)
+    predict = make_predict_fn(cfg, IMG, "Industrial",
+                              compute_dtype=jnp.float32)
+    images = jnp.asarray(
+        rng.standard_normal((2, 3, IMG, IMG)).astype(np.float32))
+    anchors = rng.standard_normal(
+        (2, cfg.clip.embed_dim, 2)).astype(np.float32)
+    anchors /= np.linalg.norm(anchors, axis=1, keepdims=True)
+    anchors = jnp.asarray(anchors)
+
+    maps, scores = predict(frozen, trainable, images, anchors)
+    maps_q, scores_q = predict(qfrozen, trainable, images, anchors)
+    assert np.isfinite(np.asarray(maps_q)).all()
+    assert np.isfinite(np.asarray(scores_q)).all()
+    rho = stats.spearmanr(np.asarray(maps).ravel(),
+                          np.asarray(maps_q).ravel()).statistic
+    assert rho > 0.98, rho
+
+
+def test_quantize_rejects_resnet():
+    from aa_clip_iqm_tpu.configs import get_model_config
+    from aa_clip_iqm_tpu.models.clip import init_clip_params as init
+
+    cfg = get_model_config("RN50", img_size=64)
+    frozen = init(jax.random.PRNGKey(0), cfg)
+    with pytest.raises(ValueError, match="ViT"):
+        quantize_backbone_int8(frozen)
