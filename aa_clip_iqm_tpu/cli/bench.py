@@ -109,14 +109,29 @@ def bench_train():
     trainable, opt_state, loss = step(trainable, opt_state, frozen, images,
                                       masks, labels, anchors, weights)
     np.asarray(loss)
-    iters = 6
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        trainable, opt_state, loss = step(trainable, opt_state, frozen,
-                                          images, masks, labels, anchors,
-                                          weights)
-        np.asarray(loss)
-    dt = time.perf_counter() - t0
+    iters = 8
+    from aa_clip_iqm_tpu.utils.profiling import trace
+
+    # Steady-state dispatch: the training loop keeps per-step losses on
+    # device (train/driver.py fetches only the epoch mean), so the metric
+    # must not pay a host round-trip per step either. A bounded window of
+    # in-flight losses mirrors the driver; profile-directed finding
+    # (docs/DESIGN.md): the per-step np.asarray sync was costing 34 ms/step
+    # of host gap on a 182 ms/step device program over the tunnel.
+    # AACLIP_BENCH_PROFILE=<dir>: capture a device trace of the timed steps.
+    with trace(os.environ.get("AACLIP_BENCH_PROFILE")):
+        pending = []
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            trainable, opt_state, loss = step(trainable, opt_state, frozen,
+                                              images, masks, labels, anchors,
+                                              weights)
+            pending.append(loss)
+            if len(pending) > 2:
+                np.asarray(pending.pop(0))
+        for loss in pending:
+            np.asarray(loss)
+        dt = time.perf_counter() - t0
     ips = batch * iters / dt
     print(json.dumps({
         "metric": "stage2_training_518px_images_per_sec_per_chip",
