@@ -47,9 +47,21 @@ class AnomalyDetector:
                  dataset: str, img_size: int = 518, adapted_text: bool = True,
                  compute_dtype=jnp.bfloat16, use_pallas: bool = True,
                  text_weight: float = 0.6, iqm_weight: float = 0.4,
-                 batch_buckets: Sequence[int] = DEFAULT_BATCH_BUCKETS):
+                 batch_buckets: Sequence[int] = DEFAULT_BATCH_BUCKETS,
+                 quantize: Optional[str] = None):
         # use_pallas is safe on any backend: the attention wrapper falls back
         # to the XLA path off-TPU (ops/attention._packed_pallas_ok).
+        if quantize is not None:
+            # Serve-time int8 backbone tier (+6% img/s on v5e, numerics
+            # bounds in docs/DESIGN.md). Anchors are computed BELOW with the
+            # full-precision text tower either way (the quantized pytree
+            # shares it), so only the visual block matmuls change.
+            if quantize != "int8":
+                raise ValueError(f"quantize must be None or 'int8', "
+                                 f"got {quantize!r}")
+            from .ops.quant import quantize_backbone_int8
+
+            frozen = quantize_backbone_int8(frozen)
         self.frozen = frozen
         self.trainable = trainable
         self.cfg = model_cfg

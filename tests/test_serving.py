@@ -364,3 +364,48 @@ def test_exported_predictor_bf16_weights(trained, rng, tmp_path):
     maps, scores = pred.predict(images, "widget")
     np.testing.assert_allclose(maps, ref_maps, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(scores, ref_scores, rtol=1e-4, atol=1e-5)
+
+
+def test_detector_int8_quantized(trained, rng):
+    """quantize='int8' serves from the quantized backbone: outputs finite
+    and strongly rank-correlated with the fp detector's maps."""
+    from scipy import stats
+
+    root, save_path, cfg, frozen = trained
+    trainable = _restored_trainable(save_path, cfg)
+    det = AnomalyDetector(
+        frozen, trainable, cfg, "Synth", img_size=IMG, adapted_text=True,
+        compute_dtype=np.float32, use_pallas=False)
+    det_q = AnomalyDetector(
+        frozen, trainable, cfg, "Synth", img_size=IMG, adapted_text=True,
+        compute_dtype=np.float32, use_pallas=False, quantize="int8")
+    images = rng.standard_normal((2, 3, IMG, IMG)).astype(np.float32)
+    maps, scores = det.predict(images, "widget")
+    maps_q, scores_q = det_q.predict(images, "widget")
+    assert np.isfinite(maps_q).all() and np.isfinite(scores_q).all()
+    rho = stats.spearmanr(maps.ravel(), maps_q.ravel()).statistic
+    assert rho > 0.98, rho
+    with pytest.raises(ValueError, match="quantize"):
+        AnomalyDetector(frozen, trainable, cfg, "Synth", img_size=IMG,
+                        compute_dtype=np.float32, use_pallas=False,
+                        quantize="fp4")
+
+
+def test_export_roundtrip_int8_detector(trained, rng, tmp_path):
+    """The int8-quantized detector exports and reloads like the fp one
+    (int8 leaves ride weights.npz natively; scales are fp32)."""
+    from aa_clip_iqm_tpu.serving import ExportedPredictor, export_predictor
+
+    root, save_path, cfg, frozen = trained
+    det = AnomalyDetector(
+        frozen, _restored_trainable(save_path, cfg), cfg, "Synth",
+        img_size=IMG, adapted_text=True, compute_dtype=np.float32,
+        use_pallas=False, quantize="int8")
+    out = str(tmp_path / "exported_q")
+    export_predictor(det, out, batch_sizes=(2,))
+    pred = ExportedPredictor(out)
+    images = rng.standard_normal((2, 3, IMG, IMG)).astype(np.float32)
+    ref_maps, ref_scores = det.predict(images, "widget")
+    maps, scores = pred.predict(images, "widget")
+    np.testing.assert_allclose(maps, ref_maps, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(scores, ref_scores, rtol=1e-4, atol=1e-5)
