@@ -198,10 +198,17 @@ def bench_stage1():
 
     text_params, opt_state, loss = one_batch(text_params, opt_state)
     np.asarray(loss)  # warmup + compile (tiny fetch forces tunnel sync)
-    iters = 5
+    iters = 6
+    # Steady-state dispatch (bounded in-flight window), matching the
+    # stage-1 driver's losses-on-device loop — same rationale as bench_train.
+    pending = []
     t0 = time.perf_counter()
     for _ in range(iters):
         text_params, opt_state, loss = one_batch(text_params, opt_state)
+        pending.append(loss)
+        if len(pending) > 2:
+            np.asarray(pending.pop(0))
+    for loss in pending:
         np.asarray(loss)
     dt = time.perf_counter() - t0
     ips = batch * iters / dt
