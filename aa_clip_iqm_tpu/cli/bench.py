@@ -90,6 +90,12 @@ def bench_train():
     img = 518
     cfg = build_model_config(img_size=img)
     frozen = load_frozen_backbone(cfg, allow_random=True)
+    if os.environ.get("AACLIP_BENCH_QUANT") == "int8":
+        # Opt-in int8-forward training: STE backward through dequantized
+        # weights (ops/quant.py); adapters still train in fp.
+        from aa_clip_iqm_tpu.ops.quant import quantize_backbone_int8
+
+        frozen = quantize_backbone_int8(frozen)
     trainable = init_trainable(cfg)
     train_cfg = TrainConfig(img_size=img, compute_dtype="bfloat16")
     tx = optim.stage2_optimizer(trainable, train_cfg.image_lr, 100)

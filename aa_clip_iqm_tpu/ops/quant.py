@@ -16,10 +16,12 @@ adapter/IQM matmul stay in the caller's compute dtype: they are cheap,
 and keeping the score head + anchors full-precision protects the anomaly
 -map numerics the same way the bf16 tier keeps LayerNorm fp32.
 
-This is an inference tier only: `jnp.round` has zero gradient, so the
-quantized pytree must not be used for the backbone of a *trainable* path
-(the frozen backbone takes no gradients in stage 2, but stage-1/2 training
-keeps the fp backbone for exactness; see docs/DESIGN.md for the measured
+Differentiability: int8_linear carries a straight-through custom VJP
+(backward with dequantized weights), so adapter training that backprops
+*through* a quantized frozen block gets correct, non-zero gradients —
+without it, round()'s zero gradient would silently kill them. Training
+defaults still use the fp backbone for exactness; the quantized-forward
+training tier is an opt-in experiment (see docs/DESIGN.md for measured
 numerics bounds).
 
 No reference analogue (the reference runs strict fp32; SURVEY.md §6).
@@ -52,8 +54,25 @@ def int8_linear(qp, x):
     The contraction is int8 x int8 -> int32 (`preferred_element_type`), the
     layout XLA lowers onto the TPU int8 MXU path; the rescale
     (s_x * scale) broadcasts (..., 1) x (1, out) into the epilogue.
+
+    Differentiable (straight-through): without a custom VJP the gradient
+    w.r.t. x would be silently ZERO (round() has no gradient), breaking any
+    adapter training that backprops *through* a quantized frozen block. The
+    backward uses the dequantized weights at the compute dtype —
+    dx = dy @ (w_q * scale)^T — i.e. the quantizer is treated as identity,
+    the standard straight-through estimator. Weights take no gradient (the
+    backbone is frozen; int8 leaves are non-differentiable by dtype anyway).
     """
-    w_q, scale = qp["w_q"], qp["scale"]
+    return _int8_linear_ste(qp["w_q"], qp["scale"],
+                            qp.get("b") if isinstance(qp, dict) else None, x)
+
+
+@jax.custom_vjp
+def _int8_linear_ste(w_q, scale, b, x):
+    return _int8_linear_fwd_math(w_q, scale, b, x)
+
+
+def _int8_linear_fwd_math(w_q, scale, b, x):
     x32 = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
     s_x = jnp.maximum(amax, 1e-6) * (1.0 / 127.0)
@@ -63,9 +82,36 @@ def int8_linear(qp, x):
         dimension_numbers=(((x_q.ndim - 1,), (w_q.ndim - 2,)), ((), ())),
         preferred_element_type=jnp.int32)
     y = y.astype(jnp.float32) * s_x * scale.reshape(scale.shape[-1])
-    if "b" in qp and qp["b"] is not None:
-        y = y + qp["b"].astype(jnp.float32)
+    if b is not None:
+        y = y + b.astype(jnp.float32)
     return y.astype(x.dtype)
+
+
+def _int8_fwd(w_q, scale, b, x):
+    return _int8_linear_fwd_math(w_q, scale, b, x), (w_q, scale, b)
+
+
+def _int8_bwd(res, dy):
+    w_q, scale, b = res
+    has_b = b is not None
+    x_dtype = dy.dtype  # primal output dtype == x.dtype
+    w_deq = (w_q.astype(jnp.float32) * scale).astype(x_dtype)
+    dx = jax.lax.dot_general(
+        dy.astype(x_dtype), w_deq,
+        dimension_numbers=(((dy.ndim - 1,), (w_deq.ndim - 1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(x_dtype)
+    # Frozen-weight cotangents: float0 for the int8 weight (integer primals
+    # carry no tangent space), explicit zeros for the fp scale (STE treats
+    # the quantizer as identity, so scale is a constant of the map).
+    dw = np.zeros(w_q.shape, jax.dtypes.float0)
+    dscale = jnp.zeros_like(scale)
+    db = (jnp.sum(dy.astype(jnp.float32),
+                  axis=tuple(range(dy.ndim - 1)))
+          if has_b else None)
+    return dw, dscale, db, dx
+
+
+_int8_linear_ste.defvjp(_int8_fwd, _int8_bwd)
 
 
 def _quantize_block_tree(blocks):
