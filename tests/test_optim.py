@@ -1,0 +1,115 @@
+"""Optimizer/schedule parity vs torch.optim (reference train.py:335-353)."""
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from aa_clip_iqm_tpu.train import optim  # noqa: E402
+
+
+def _torch_steps(opt_cls, params_np, grads_np, n_steps, scheduler_fn=None,
+                 **kw):
+    ps = [torch.nn.Parameter(torch.from_numpy(p.copy())) for p in params_np]
+    opt = opt_cls(ps, **kw)
+    sched = scheduler_fn(opt) if scheduler_fn else None
+    for t in range(n_steps):
+        opt.zero_grad()
+        for p, g in zip(ps, grads_np):
+            p.grad = torch.from_numpy(g * (t + 1))  # vary grads per step
+        opt.step()
+        if sched is not None:
+            sched.step()
+    return [p.detach().numpy() for p in ps]
+
+
+def _optax_steps(tx, params, grads_np, n_steps):
+    state = tx.init(params)
+    for t in range(n_steps):
+        grads = jax.tree.map(lambda g: jnp.asarray(g * (t + 1)),
+                             jax.tree.map(np.asarray, grads_np))
+        updates, state = tx.update(grads, state, params)
+        import optax as _optax
+
+        params = _optax.apply_updates(params, updates)
+    return params
+
+
+def test_stage1_adam_matches_torch(rng):
+    """Adam lr 1e-5 betas (0.5, 0.999) — train.py:335-339."""
+    p = rng.standard_normal((8, 4)).astype(np.float32)
+    g = (rng.standard_normal((8, 4)) * 0.1).astype(np.float32)
+    ref = _torch_steps(torch.optim.Adam, [p], [g], 5, lr=1e-5,
+                       betas=(0.5, 0.999))[0]
+    ours = _optax_steps(optim.stage1_optimizer(1e-5),
+                        {"w": jnp.asarray(p)}, {"w": g}, 5)
+    np.testing.assert_allclose(np.asarray(ours["w"]), ref, rtol=1e-5,
+                               atol=1e-7)
+
+
+def test_stage2_adamw_groups_and_cosine_match_torch(rng):
+    """Two AdamW groups (image lr/wd 5e-4/1e-4; IQM lr x0.1, wd 1e-3) with a
+    per-step cosine to eta_min=1e-6 — train.py:342-353 semantics over the
+    true total step count; text adapter frozen."""
+    total = 6
+    p_img = rng.standard_normal((6, 3)).astype(np.float32)
+    p_iqm = rng.standard_normal((5, 2)).astype(np.float32)
+    p_txt = rng.standard_normal((4,)).astype(np.float32)
+    g_img = (rng.standard_normal((6, 3)) * 0.1).astype(np.float32)
+    g_iqm = (rng.standard_normal((5, 2)) * 0.1).astype(np.float32)
+    g_txt = (rng.standard_normal((4,)) * 0.1).astype(np.float32)
+
+    trainable = {"image_adapter": {"w": jnp.asarray(p_img)},
+                 "iqm": {"w": jnp.asarray(p_iqm)},
+                 "text_adapter": {"w": jnp.asarray(p_txt)}}
+    tx = optim.stage2_optimizer(trainable, 5e-4, total)
+    ours = _optax_steps(tx, trainable,
+                        {"image_adapter": {"w": g_img},
+                         "iqm": {"w": g_iqm},
+                         "text_adapter": {"w": g_txt}}, total)
+
+    def sched(opt):
+        return torch.optim.lr_scheduler.CosineAnnealingLR(
+            opt, T_max=total, eta_min=1e-6)
+
+    ref_img = _torch_steps(torch.optim.AdamW, [p_img], [g_img], total,
+                           scheduler_fn=sched, lr=5e-4, weight_decay=1e-4)[0]
+    ref_iqm = _torch_steps(torch.optim.AdamW, [p_iqm], [g_iqm], total,
+                           scheduler_fn=sched, lr=5e-5, weight_decay=1e-3)[0]
+    np.testing.assert_allclose(np.asarray(ours["image_adapter"]["w"]),
+                               ref_img, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ours["iqm"]["w"]), ref_iqm,
+                               rtol=1e-4, atol=1e-6)
+    # frozen group untouched
+    np.testing.assert_array_equal(np.asarray(ours["text_adapter"]["w"]),
+                                  p_txt)
+
+
+def test_torch_lr_quirk_schedule_curve():
+    """torch_quirk_period_steps reproduces the reference's per-batch-stepped
+    T_max=epochs scheduler: the closed-form periodic cosine that completes
+    in the first T steps then climbs back (train.py:222,353)."""
+    T, base, eta = 5, 5e-4, 1e-6
+    sched = optim.cosine_annealing(base, total_steps=100,
+                                   torch_quirk_period_steps=T)
+    dummy = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=base)
+    tsched = torch.optim.lr_scheduler.CosineAnnealingLR(dummy, T_max=T,
+                                                        eta_min=eta)
+    for t in range(3 * T):
+        np.testing.assert_allclose(float(sched(t)), tsched.get_last_lr()[0],
+                                   rtol=1e-5, atol=1e-9)
+        tsched.step()
+    # periodicity: back at base lr after a full 2T cycle
+    np.testing.assert_allclose(float(sched(2 * T)), base, rtol=1e-6)
+    assert float(sched(T)) == pytest.approx(eta, rel=1e-3)
+
+
+def test_default_cosine_decays_over_total_steps():
+    base, total, eta = 5e-4, 40, 1e-6
+    sched = optim.cosine_annealing(base, total_steps=total, eta_min=eta)
+    assert float(sched(0)) == pytest.approx(base)
+    assert float(sched(total)) == pytest.approx(eta, rel=1e-2)
+    vals = [float(sched(t)) for t in range(total + 1)]
+    assert all(a >= b - 1e-12 for a, b in zip(vals, vals[1:]))  # monotone
