@@ -82,6 +82,11 @@ def build_parser():
                         help="stage-2 patch-dropout rate (the reference "
                         "configures 0.2 but never activates it — survey Q5; "
                         "off by default for fidelity)")
+    parser.add_argument("--quantize_backbone", type=str, default=None,
+                        choices=["int8"],
+                        help="int8-forward training experiment: quantize the "
+                        "frozen backbone (STE backward; ~+5%% step "
+                        "throughput on v5e, docs/DESIGN.md)")
     parser.add_argument("--profile_dir", type=str, default=None)
     parser.add_argument("--debug_nans", action="store_true")
     return parser
@@ -125,6 +130,11 @@ def main():
 
     frozen = load_frozen_backbone(model_cfg, args.backbone,
                                   allow_random=args.random_backbone)
+    if args.quantize_backbone == "int8":
+        from aa_clip_iqm_tpu.ops.quant import quantize_backbone_int8
+
+        frozen = quantize_backbone_int8(frozen)
+        logger.info("frozen backbone quantized to int8 (STE backward)")
     trainable = init_trainable(model_cfg, seed=args.seed)
 
     mesh = None

@@ -155,7 +155,6 @@ def quantize_backbone_int8(frozen):
 
 
 def is_quantized(params) -> bool:
-    return any(isinstance(k, str) and k == "w_q"
-               for k in (path[-1].key if hasattr(path[-1], "key") else None
-                         for path, _ in
-                         jax.tree_util.tree_flatten_with_path(params)[0]))
+    """True if any linear in the pytree carries an int8-quantized weight."""
+    return any(leaf.dtype == jnp.int8 for leaf in jax.tree.leaves(params)
+               if hasattr(leaf, "dtype"))

@@ -1,6 +1,8 @@
 """gen_metadata tool: scan + k-shot subset round-trips on synthetic data."""
 import json
 import os
+
+import numpy as np
 import subprocess
 import sys
 
@@ -130,3 +132,12 @@ def test_parity_run_dry_run(tmp_path):
         rep = json.load(f)
     assert rep["failed"] == ["Synth"]
     assert abs(rep["datasets"]["Synth"]["delta"]["pixel AUC"] + 5.0) < 1e-6
+
+    # int8 tier variant: runs end-to-end and reports its own numbers.
+    out4 = str(tmp_path / "rep4")
+    assert parity_run.main(base + ["--out", out4,
+                                   "--quantize_backbone", "int8"]) == 0
+    with open(os.path.join(out4, "report.json")) as f:
+        repq = json.load(f)
+    assert "int8 backbone" in repq["weights"]
+    assert np.isfinite(repq["datasets"]["Synth"]["average"]["pixel AUC"])

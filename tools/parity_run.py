@@ -77,6 +77,10 @@ def build_parser():
     p.add_argument("--compute_dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--use_pallas", action="store_true")
+    p.add_argument("--quantize_backbone", default=None, choices=["int8"],
+                   help="evaluate the int8 inference tier instead of fp — "
+                   "measures the tier's AUROC delta against the same anchor "
+                   "table (docs/DESIGN.md)")
     p.add_argument("--seed", type=int, default=111)
     p.add_argument("--relu", action="store_true")
     return p
@@ -166,6 +170,12 @@ def main(argv=None):
         trainable = restored["params"]
         weights_mode = (f"trained checkpoint ({args.save_path}, "
                         f"epoch {restored['epoch']})")
+
+    if args.quantize_backbone == "int8":
+        from aa_clip_iqm_tpu.ops.quant import quantize_backbone_int8
+
+        frozen = quantize_backbone_int8(frozen)
+        weights_mode += " + int8 backbone"
 
     anchor_table = {}
     if args.anchor_table:
