@@ -1,0 +1,88 @@
+"""In-suite end-to-end drives of the three CLI mains (tiny model, synthetic
+data). The verify skill drives the same surfaces manually; these keep them
+from regressing between drives."""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+
+from aa_clip_iqm_tpu.data.synthetic import generate, register_synthetic
+
+IMG = 56
+
+
+@pytest.fixture(scope="module")
+def cli_data(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("clidata"))
+    generate(root, n_normal=4, n_anomalous=4, size=IMG, seed=11,
+             class_names=("widget",))
+    metadata_root = register_synthetic(root)
+    return root, metadata_root
+
+
+def _run_main(monkeypatch, module, argv):
+    monkeypatch.setattr(sys, "argv", [module.__name__] + argv)
+    return module.main()
+
+
+def test_train_then_evaluate_cli(cli_data, monkeypatch, capsys):
+    from aa_clip_iqm_tpu.cli import evaluate as evaluate_cli
+    from aa_clip_iqm_tpu.cli import train as train_cli
+
+    root, metadata_root = cli_data
+    save_path = os.path.join(root, "ckpt")
+    _run_main(monkeypatch, train_cli, [
+        "--model_name", "tiny-test", "--img_size", str(IMG),
+        "--dataset", "Synth", "--training_mode", "full_shot",
+        "--text_batch_size", "4", "--image_batch_size", "4",
+        "--text_epoch", "1", "--image_epoch", "1",
+        "--compute_dtype", "float32", "--random_backbone",
+        "--metadata_root", metadata_root, "--save_path", save_path])
+    assert os.path.isdir(os.path.join(save_path, "text_adapter"))
+    assert os.path.isdir(os.path.join(save_path, "image_adapter_1"))
+
+    _run_main(monkeypatch, evaluate_cli, [
+        "--model_name", "tiny-test", "--img_size", str(IMG),
+        "--dataset", "Synth", "--image_batch_size", "4",
+        "--compute_dtype", "float32", "--random_backbone",
+        "--metadata_root", metadata_root, "--save_path", save_path])
+    out = capsys.readouterr().out
+    assert "Average" in out and "pixel AUC" in out
+
+
+def test_single_image_cli_zero_shot(cli_data, monkeypatch, capsys, tmp_path):
+    from aa_clip_iqm_tpu.cli import single_image as si_cli
+
+    root, _ = cli_data
+    img_dir = os.path.join(root, "Synth", "widget", "test", "defect")
+    image = os.path.join(img_dir, sorted(os.listdir(img_dir))[0])
+    out = str(tmp_path / "map.png")
+    _run_main(monkeypatch, si_cli, [
+        "--model_name", "tiny-test", "--img_size", str(IMG),
+        "--image_path", image, "--class_name", "widget",
+        "--dataset", "Synth", "--random_backbone",
+        "--compute_dtype", "float32", "--out", out])
+    printed = capsys.readouterr().out
+    assert "image anomaly score" in printed
+    amap = np.load(str(tmp_path / "map.npy"))
+    assert amap.shape == (IMG, IMG) and np.isfinite(amap).all()
+
+
+def test_single_image_cli_visualize(cli_data, monkeypatch, tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    from aa_clip_iqm_tpu.cli import single_image as si_cli
+
+    root, _ = cli_data
+    img_dir = os.path.join(root, "Synth", "widget", "test", "defect")
+    image = os.path.join(img_dir, sorted(os.listdir(img_dir))[0])
+    out = str(tmp_path / "overlay.png")
+    _run_main(monkeypatch, si_cli, [
+        "--model_name", "tiny-test", "--img_size", str(IMG),
+        "--image_path", image, "--class_name", "widget",
+        "--dataset", "Synth", "--random_backbone",
+        "--compute_dtype", "float32", "--visualize", "--out", out])
+    overlay = cv2.imread(out)
+    assert overlay is not None and overlay.shape == (IMG, IMG, 3)
