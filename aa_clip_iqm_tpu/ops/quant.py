@@ -63,8 +63,7 @@ def int8_linear(qp, x):
     the standard straight-through estimator. Weights take no gradient (the
     backbone is frozen; int8 leaves are non-differentiable by dtype anyway).
     """
-    return _int8_linear_ste(qp["w_q"], qp["scale"],
-                            qp.get("b") if isinstance(qp, dict) else None, x)
+    return _int8_linear_ste(qp["w_q"], qp["scale"], qp.get("b"), x)
 
 
 @jax.custom_vjp
