@@ -146,6 +146,42 @@ class AnomalyDetector:
                                      jnp.asarray(images), anchors_b)
         return np.asarray(maps)[:n], np.asarray(scores)[:n]
 
+    def predict_multi(self, images: np.ndarray,
+                      class_names: Sequence[str]
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+        """Mixed-class batch: images[i] scored against class_names[i]'s
+        anchor. Same bucketing/compiled programs as predict() — the fused
+        program already takes per-sample anchors, so heterogeneous requests
+        ride one device batch instead of fragmenting into per-class calls
+        (the MicroBatchingService flush path)."""
+        n = images.shape[0]
+        if len(class_names) != n:
+            raise ValueError(
+                f"{n} images but {len(class_names)} class names")
+        unknown = [c for c in class_names if c not in self.anchors]
+        if unknown:
+            raise KeyError(
+                f"unknown class {unknown[0]!r}; available: "
+                f"{self.class_names()}")
+        fitting = [b for b in self._buckets if b >= n]
+        if not fitting:
+            bucket = self._buckets[-1]
+            maps, scores = zip(*(
+                self.predict_multi(images[i:i + bucket],
+                                   class_names[i:i + bucket])
+                for i in range(0, n, bucket)))
+            return np.concatenate(maps), np.concatenate(scores)
+        bucket = fitting[0]
+        if bucket != n:
+            images = np.concatenate(
+                [images, np.zeros((bucket - n,) + tuple(images.shape[1:]),
+                                  np.float32)], axis=0)
+        pad_names = list(class_names) + [class_names[-1]] * (bucket - n)
+        anchors_b = jnp.stack([self.anchors[c] for c in pad_names], axis=0)
+        maps, scores = self._predict(self.frozen, self.trainable,
+                                     jnp.asarray(images), anchors_b)
+        return np.asarray(maps)[:n], np.asarray(scores)[:n]
+
     def predict_paths(self, paths: Sequence[str],
                       class_name: str) -> Tuple[np.ndarray, np.ndarray]:
         """Load, preprocess (bicubic + CLIP normalize) and predict."""
@@ -354,7 +390,47 @@ class ExportedPredictor:
                                   np.float32)], axis=0)
         anchor = self.anchors[class_name]
         anchors_b = jnp.broadcast_to(anchor[None], (bucket,) + anchor.shape)
-        program = self._program(bucket)
+        return self._call(images, anchors_b, n)
+
+    def predict_multi(self, images: np.ndarray,
+                      class_names: Sequence[str]
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+        """Mixed-class batch over the exported programs (per-sample anchors;
+        same contract as AnomalyDetector.predict_multi)."""
+        n = images.shape[0]
+        if len(class_names) != n:
+            raise ValueError(
+                f"{n} images but {len(class_names)} class names")
+        unknown = [c for c in class_names if c not in self.anchors]
+        if unknown:
+            raise KeyError(
+                f"unknown class {unknown[0]!r}; available: "
+                f"{self.class_names()}")
+        img = self.img_size
+        if images.ndim != 4 or images.shape[1:] != (3, img, img):
+            raise ValueError(
+                f"expected (B, 3, {img}, {img}) images (the exported "
+                f"programs are shape-specialized), got {images.shape}")
+        sizes = self.manifest["batch_sizes"]
+        fitting = [b for b in sizes if b >= n]
+        if not fitting:
+            bucket = sizes[-1]
+            maps, scores = zip(*(
+                self.predict_multi(images[i:i + bucket],
+                                   class_names[i:i + bucket])
+                for i in range(0, n, bucket)))
+            return np.concatenate(maps), np.concatenate(scores)
+        bucket = fitting[0]
+        if bucket != n:
+            images = np.concatenate(
+                [images, np.zeros((bucket - n,) + tuple(images.shape[1:]),
+                                  np.float32)], axis=0)
+        pad_names = list(class_names) + [class_names[-1]] * (bucket - n)
+        anchors_b = jnp.stack([self.anchors[c] for c in pad_names], axis=0)
+        return self._call(images, anchors_b, n)
+
+    def _call(self, images, anchors_b, n):
+        program = self._program(anchors_b.shape[0])
         if self._weights is not None:
             frozen, trainable = self._weights
             maps, scores = program.call(frozen, trainable,
@@ -368,10 +444,13 @@ class MicroBatchingService:
     """Request-coalescing front-end for AnomalyDetector.
 
     Concurrent callers submit single images; a background worker drains the
-    queue, groups requests by class, and runs them as one bucketed device
-    batch — so a serving deployment feeds the TPU large shape-stable batches
-    instead of many batch-1 dispatches. No reference analogue (the reference
-    has no serving surface); new capability per SURVEY §7.
+    queue and runs the coalesced window as ONE bucketed device batch — the
+    fused program takes per-sample anchors, so a mixed-class window needs no
+    per-class fragmentation (detectors exposing only single-class predict()
+    fall back to per-class dispatch). A serving deployment thus feeds the
+    TPU large shape-stable batches instead of many batch-1 dispatches. No
+    reference analogue (the reference has no serving surface); new
+    capability per SURVEY §7.
 
         svc = MicroBatchingService(det, max_batch=32, max_latency_ms=5)
         fut = svc.submit(image, "bottle")      # non-blocking
@@ -472,6 +551,40 @@ class MicroBatchingService:
                                  "this request was served"))
 
     def _flush(self, batch):
+        multi = getattr(self.detector, "predict_multi", None)
+        if multi is None:
+            return self._flush_by_class(batch)
+        # Mixed-class fast path: the fused program takes per-sample anchors,
+        # so the whole coalesced window rides ONE device batch regardless of
+        # class mix (per-class dispatch fragments batches under mixed load).
+        # Unknown classes are failed individually so one bad request cannot
+        # poison the batch.
+        try:
+            known = set(self.detector.class_names())
+        except Exception:
+            known = None
+        valid = []
+        for item in batch:
+            if known is not None and item[1] not in known:
+                item[2].set_exception(KeyError(
+                    f"unknown class {item[1]!r}; available: {sorted(known)}"))
+            else:
+                valid.append(item)
+        if not valid:
+            return
+        futs = [f for _, _, f in valid]
+        try:
+            images = np.stack([img for img, _, _ in valid]).astype(np.float32)
+            maps, scores = multi(images, [c for _, c, _ in valid])
+        except Exception as exc:  # propagate to every waiter
+            for f in futs:
+                f.set_exception(exc)
+            return
+        for i, f in enumerate(futs):
+            f.set_result((maps[i], scores[i]))
+
+    def _flush_by_class(self, batch):
+        """Fallback for detectors exposing only single-class predict()."""
         by_class: Dict[str, list] = {}
         for image, class_name, fut in batch:
             by_class.setdefault(class_name, []).append((image, fut))

@@ -409,3 +409,94 @@ def test_export_roundtrip_int8_detector(trained, rng, tmp_path):
     maps, scores = pred.predict(images, "widget")
     np.testing.assert_allclose(maps, ref_maps, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(scores, ref_scores, rtol=1e-4, atol=1e-5)
+
+
+def test_predict_multi_matches_per_class(trained, rng):
+    """Mixed-class batches ride one dispatch and agree with per-class
+    predict(); oversize mixed batches split on the bucket ladder."""
+    root, save_path, cfg, frozen = trained
+    det = AnomalyDetector(
+        frozen, _restored_trainable(save_path, cfg), cfg, "Synth",
+        img_size=IMG, adapted_text=True, compute_dtype=np.float32,
+        use_pallas=False, batch_buckets=(1, 2, 4))
+    # Second class: a distinct, valid anchor (same class vocabulary shape).
+    a = np.asarray(det.anchors["widget"])
+    det.anchors["gizmo"] = np.ascontiguousarray(a[:, ::-1])
+
+    images = rng.standard_normal((3, 3, IMG, IMG)).astype(np.float32)
+    names = ["widget", "gizmo", "widget"]
+    maps, scores = det.predict_multi(images, names)
+    for i, name in enumerate(names):
+        m_ref, s_ref = det.predict(images[i:i + 1], name)
+        np.testing.assert_allclose(maps[i], m_ref[0], rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(scores[i], s_ref[0], rtol=1e-4, atol=1e-5)
+    # oversize split (5 > largest bucket 4)
+    images5 = rng.standard_normal((5, 3, IMG, IMG)).astype(np.float32)
+    names5 = ["widget", "gizmo"] * 2 + ["widget"]
+    maps5, scores5 = det.predict_multi(images5, names5)
+    assert maps5.shape == (5, IMG, IMG) and scores5.shape == (5,)
+    with pytest.raises(KeyError, match="unknown class"):
+        det.predict_multi(images[:1], ["nope"])
+    with pytest.raises(ValueError, match="class names"):
+        det.predict_multi(images, ["widget"])
+
+
+def test_micro_batching_mixed_classes_one_dispatch(trained, rng):
+    """The service's flush sends a mixed-class window through predict_multi
+    (one device batch); results match per-class predict and an unknown
+    class fails only its own future."""
+    root, save_path, cfg, frozen = trained
+    det = AnomalyDetector(
+        frozen, _restored_trainable(save_path, cfg), cfg, "Synth",
+        img_size=IMG, adapted_text=True, compute_dtype=np.float32,
+        use_pallas=False)
+    a = np.asarray(det.anchors["widget"])
+    det.anchors["gizmo"] = np.ascontiguousarray(a[:, ::-1])
+
+    calls = []
+    orig_multi = det.predict_multi
+
+    def counting_multi(images, names):
+        calls.append(list(names))
+        return orig_multi(images, names)
+
+    det.predict_multi = counting_multi
+    svc = MicroBatchingService(det, max_batch=8, max_latency_ms=200.0)
+    try:
+        images = rng.standard_normal((4, 3, IMG, IMG)).astype(np.float32)
+        names = ["widget", "gizmo", "widget", "gizmo"]
+        futs = [svc.submit(images[i], names[i]) for i in range(4)]
+        bad = svc.submit(images[0], "nope")
+        results = [f.result(timeout=120) for f in futs]
+        with pytest.raises(KeyError, match="unknown class"):
+            bad.result(timeout=120)
+    finally:
+        svc.close()
+    # every mixed window dispatched as one predict_multi call
+    assert all(len(c) >= 1 for c in calls)
+    assert sum(len(c) for c in calls) == 4
+    for i, name in enumerate(names):
+        m_ref, s_ref = det.predict(images[i:i + 1], name)
+        np.testing.assert_allclose(results[i][0], m_ref[0], rtol=1e-4,
+                                   atol=1e-5)
+
+
+def test_exported_predict_multi_roundtrip(trained, rng, tmp_path):
+    from aa_clip_iqm_tpu.serving import ExportedPredictor, export_predictor
+
+    root, save_path, cfg, frozen = trained
+    det = AnomalyDetector(
+        frozen, _restored_trainable(save_path, cfg), cfg, "Synth",
+        img_size=IMG, adapted_text=True, compute_dtype=np.float32,
+        use_pallas=False)
+    a = np.asarray(det.anchors["widget"])
+    det.anchors["gizmo"] = np.ascontiguousarray(a[:, ::-1])
+    out = str(tmp_path / "exported_mc")
+    export_predictor(det, out, batch_sizes=(2,))
+    pred = ExportedPredictor(out)
+    images = rng.standard_normal((3, 3, IMG, IMG)).astype(np.float32)
+    names = ["gizmo", "widget", "gizmo"]
+    ref_maps, ref_scores = det.predict_multi(images, names)
+    maps, scores = pred.predict_multi(images, names)  # 3 > bucket 2: split
+    np.testing.assert_allclose(maps, ref_maps, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(scores, ref_scores, rtol=1e-4, atol=1e-5)
