@@ -58,17 +58,24 @@ def _measure(predict, frozen, trainable, batch, img, embed_dim, iters=10):
 
     # Keep two batches in flight: serving pipelines dispatch against compute,
     # so the steady-state number should too.
+    # AACLIP_BENCH_PROFILE=<dir>: capture a device trace of the timed iters
+    # (same hook as the train bench; summarize with tools/trace_summary.py).
+    import os
+
+    from aa_clip_iqm_tpu.utils.profiling import trace
+
     depth = 2
-    pending = []
-    t0 = time.perf_counter()
-    for i in range(iters):
-        m, s = predict(frozen, trainable, image_bufs[i % n_bufs], anchors_dev)
-        pending.append(s)
-        if len(pending) > depth:
-            np.asarray(pending.pop(0))
-    for s in pending:
-        np.asarray(s)
-    dt = time.perf_counter() - t0
+    with trace(os.environ.get("AACLIP_BENCH_PROFILE")):
+        pending = []
+        t0 = time.perf_counter()
+        for i in range(iters):
+            m, s = predict(frozen, trainable, image_bufs[i % n_bufs], anchors_dev)
+            pending.append(s)
+            if len(pending) > depth:
+                np.asarray(pending.pop(0))
+        for s in pending:
+            np.asarray(s)
+        dt = time.perf_counter() - t0
     return batch * iters / dt
 
 
