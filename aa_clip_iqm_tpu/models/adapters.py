@@ -117,7 +117,8 @@ def encode_image_adapted(frozen, trainable, cfg: ModelConfig, images,
                          text_anchors=None, compute_dtype=jnp.float32,
                          use_pallas: bool = False,
                          remat: bool = False,
-                         patch_drop_rng=None) -> AdaptedOutputs:
+                         patch_drop_rng=None,
+                         fused_mlp: bool = True) -> AdaptedOutputs:
     """AdaptedCLIP.forward (model/adapter.py:137-271), functional.
 
     text_anchors: (B, embed_dim, 2) per-sample anchors, or None to skip IQM.
@@ -144,7 +145,7 @@ def encode_image_adapted(frozen, trainable, cfg: ModelConfig, images,
         act_name=cfg.clip.act, adapters=ia["layer_adapters"],
         adapter_weight=a.image_adapt_weight, adapt_until=a.image_adapt_until,
         compute_dtype=compute_dtype, use_pallas=use_pallas, remat=remat,
-        keep_idx=keep_idx,
+        keep_idx=keep_idx, fused_mlp=fused_mlp,
     )
 
     # Patch tokens (CLS dropped) -> frozen ln_post (model/adapter.py:172-176).

@@ -164,7 +164,7 @@ def patchify(params, images, patch_size: int):
 
 
 def _run_block(block, x, num_heads, act, attn_mask=None, vv=False,
-               use_pallas=False, valid_len=None):
+               use_pallas=False, valid_len=None, fused_mlp=True):
     """Pre-norm residual attention block (model/transformer.py:239-258).
 
     When ``vv`` is set the attention is the CLIP-Surgery value-value variant
@@ -179,14 +179,24 @@ def _run_block(block, x, num_heads, act, attn_mask=None, vv=False,
         a = attn_ops.mha(block["attn"], h, num_heads, attn_mask=attn_mask,
                          use_pallas=use_pallas, valid_len=valid_len)
     x = x + a
-    x = x + mlp_block(block["mlp"], layer_norm(block["ln_2"], x), act)
+    from ..ops import pallas_mlp
+
+    if (use_pallas and fused_mlp
+            and pallas_mlp.ln_mlp_residual_ok(x, block["mlp"], act)):
+        # Fused LN -> MLP -> residual kernel: hidden activations never touch
+        # HBM, GELU overlaps the matmuls (see ops/pallas_mlp.py; ~21% faster
+        # than the XLA chain at the flagship shape).
+        x = pallas_mlp.ln_mlp_residual(block["ln_2"], block["mlp"], x, act)
+    else:
+        x = x + mlp_block(block["mlp"], layer_norm(block["ln_2"], x), act)
     return x
 
 
 def run_block_range(stacked, x, start: int, stop: int, num_heads: int, act,
                     attn_mask=None, vv: bool = False, adapters=None,
                     adapter_weight: float = 0.0, use_pallas: bool = False,
-                    remat: bool = False, valid_len=None):
+                    remat: bool = False, valid_len=None,
+                    fused_mlp: bool = True):
     """lax.scan blocks [start, stop) of a stacked-parameter tower.
 
     Compile-time design: all homogeneous layer ranges run as one scanned block
@@ -209,7 +219,8 @@ def run_block_range(stacked, x, start: int, stop: int, num_heads: int, act,
         else:
             block, adapter = layer_params
         y = _run_block(block, carry, num_heads, act, attn_mask=attn_mask,
-                       vv=vv, use_pallas=use_pallas, valid_len=valid_len)
+                       vv=vv, use_pallas=use_pallas, valid_len=valid_len,
+                       fused_mlp=fused_mlp)
         if adapters is not None:
             y = norm_preserving_blend(y, simple_adapter(adapter, y),
                                       adapter_weight)
@@ -242,6 +253,7 @@ def vision_forward(
     use_pallas: bool = False,
     remat: bool = False,
     keep_idx=None,
+    fused_mlp: bool = True,
 ):
     """ViT forward with multi-depth taps, scanned in homogeneous segments.
 
@@ -300,6 +312,7 @@ def vision_forward(
             vv=vv_from is not None and start >= vv_from,
             adapters=seg_adapters, adapter_weight=adapter_weight,
             use_pallas=use_pallas, remat=remat, valid_len=valid_len,
+            fused_mlp=fused_mlp,
         )
         if stop in out_layers:
             taps.append(x if valid_len is None else x[:, :valid_len])

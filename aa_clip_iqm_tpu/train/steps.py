@@ -175,6 +175,11 @@ def make_stage2_step(cfg: ModelConfig, train_cfg: TrainConfig,
             frozen, trainable, cfg, images, text_anchors=anchors,
             compute_dtype=compute_dtype, use_pallas=use_pallas, remat=remat,
             patch_drop_rng=rng,
+            # The fused LN->MLP kernel's backward re-runs the XLA chain
+            # (custom_vjp), which under remat costs more than it saves:
+            # measured 31.69 vs 32.03 img/s @518. Grad path keeps XLA ops;
+            # inference and stage-1 frozen extraction keep the kernel.
+            fused_mlp=False,
         )
         cls_logits = jnp.einsum("bd,bdc->bc",
                                 out.det_token.astype(jnp.float32),
