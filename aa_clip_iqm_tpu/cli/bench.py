@@ -249,12 +249,16 @@ def main():
 
     import os
 
-    if os.environ.get("AACLIP_BENCH_QUANT") == "int8":
-        # Int8 frozen-backbone tier (ops/quant.py): v5e int8 MXU peak is 2x
-        # bf16; numerics bounded in tests/test_quant.py + docs/DESIGN.md.
+    quant = os.environ.get("AACLIP_BENCH_QUANT")
+    if quant in ("int8", "int8_attn"):
+        # Int8 frozen-backbone tier (ops/quant.py); "int8_attn" quantizes
+        # only qkv/out so the MLP keeps the fused Pallas kernel — the two
+        # optimizations stack. Numerics bounded in tests/test_quant.py +
+        # docs/DESIGN.md.
         from aa_clip_iqm_tpu.ops.quant import quantize_backbone_int8
 
-        frozen = quantize_backbone_int8(frozen)
+        frozen = quantize_backbone_int8(
+            frozen, scope="attn" if quant == "int8_attn" else "all")
 
     configs = []
     if os.environ.get("AACLIP_BENCH_SWEEP"):

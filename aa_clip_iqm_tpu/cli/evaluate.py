@@ -65,9 +65,11 @@ def build_parser():
                         "checkpoint dir (text_adapter.pth / "
                         "image_adapter_N.pth) and import the adapters")
     parser.add_argument("--quantize_backbone", type=str, default=None,
-                        choices=["int8"],
-                        help="int8 frozen-backbone inference tier (~+6%% "
-                        "img/s on v5e; numerics bounds in docs/DESIGN.md)")
+                        choices=["int8", "int8_attn"],
+                        help="int8 frozen-backbone inference tier; "
+                        "'int8_attn' quantizes only the attention "
+                        "projections and keeps the fused MLP kernel "
+                        "(fastest measured tier; docs/DESIGN.md)")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="write a jax.profiler trace here")
     parser.add_argument("--debug_nans", action="store_true")
@@ -92,11 +94,12 @@ def main():
     )
     frozen = load_frozen_backbone(model_cfg, args.backbone,
                                   allow_random=args.random_backbone)
-    if args.quantize_backbone == "int8":
+    if args.quantize_backbone:
         from aa_clip_iqm_tpu.ops.quant import quantize_backbone_int8
 
-        frozen = quantize_backbone_int8(frozen)
-        logger.info("frozen backbone quantized to int8")
+        scope = "attn" if args.quantize_backbone == "int8_attn" else "all"
+        frozen = quantize_backbone_int8(frozen, scope=scope)
+        logger.info("frozen backbone quantized to int8 (scope=%s)", scope)
     trainable = init_trainable(model_cfg, seed=args.seed)
 
     if args.debug_nans:

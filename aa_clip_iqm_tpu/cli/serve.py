@@ -304,7 +304,10 @@ def main(argv=None):
     src.add_argument("--backbone", type=str, default=None)
     src.add_argument("--random_backbone", action="store_true")
     src.add_argument("--quantize_backbone", type=str, default=None,
-                     choices=["int8"], help="int8 weight-only backbone tier")
+                     choices=["int8", "int8_attn"],
+                     help="int8 weight-only backbone tier ('int8_attn': "
+                     "attention projections only, keeps the fused MLP "
+                     "kernel — fastest measured)")
     src.add_argument("--compute_dtype", type=str, default="bfloat16",
                      choices=["bfloat16", "float32"])
     src.add_argument("--no_pallas", action="store_true")

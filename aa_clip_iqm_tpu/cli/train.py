@@ -83,10 +83,11 @@ def build_parser():
                         "configures 0.2 but never activates it — survey Q5; "
                         "off by default for fidelity)")
     parser.add_argument("--quantize_backbone", type=str, default=None,
-                        choices=["int8"],
+                        choices=["int8", "int8_attn"],
                         help="int8-forward training experiment: quantize the "
                         "frozen backbone (STE backward; ~+5%% step "
-                        "throughput on v5e, docs/DESIGN.md)")
+                        "throughput on v5e, docs/DESIGN.md); 'int8_attn' "
+                        "quantizes only the attention projections")
     parser.add_argument("--profile_dir", type=str, default=None)
     parser.add_argument("--debug_nans", action="store_true")
     return parser
@@ -130,11 +131,13 @@ def main():
 
     frozen = load_frozen_backbone(model_cfg, args.backbone,
                                   allow_random=args.random_backbone)
-    if args.quantize_backbone == "int8":
+    if args.quantize_backbone:
         from aa_clip_iqm_tpu.ops.quant import quantize_backbone_int8
 
-        frozen = quantize_backbone_int8(frozen)
-        logger.info("frozen backbone quantized to int8 (STE backward)")
+        scope = "attn" if args.quantize_backbone == "int8_attn" else "all"
+        frozen = quantize_backbone_int8(frozen, scope=scope)
+        logger.info("frozen backbone quantized to int8 (STE backward, "
+                    "scope=%s)", scope)
     trainable = init_trainable(model_cfg, seed=args.seed)
 
     mesh = None

@@ -113,11 +113,19 @@ def _int8_bwd(res, dy):
 _int8_linear_ste.defvjp(_int8_fwd, _int8_bwd)
 
 
-def _quantize_block_tree(blocks):
-    """Stacked-block pytree -> same structure with the four matmuls
+def _quantize_block_tree(blocks, scope: str = "all"):
+    """Stacked-block pytree -> same structure with the block matmuls
     quantized (ln_1/ln_2 untouched). Works on the (layers, ...) stacked
     layout: scales get a per-layer leading axis and scan-slice like any
-    other leaf."""
+    other leaf.
+
+    scope: "all" quantizes qkv/out/c_fc/c_proj; "attn" quantizes only the
+    attention projections and leaves the MLP in float — that keeps the MLP
+    eligible for the fused LN->MLP Pallas kernel (ops/pallas_mlp.py skips
+    quantized weights), stacking the two optimizations.
+    """
+    quant_mlp = scope == "all"
+    mlp = blocks["mlp"]
     return {
         "ln_1": blocks["ln_1"],
         "attn": {
@@ -126,16 +134,22 @@ def _quantize_block_tree(blocks):
         },
         "ln_2": blocks["ln_2"],
         "mlp": {
-            "c_fc": quantize_linear_params(blocks["mlp"]["c_fc"]),
-            "c_proj": quantize_linear_params(blocks["mlp"]["c_proj"]),
+            "c_fc": quantize_linear_params(mlp["c_fc"]) if quant_mlp
+            else mlp["c_fc"],
+            "c_proj": quantize_linear_params(mlp["c_proj"]) if quant_mlp
+            else mlp["c_proj"],
         },
     }
 
 
-def quantize_backbone_int8(frozen):
+def quantize_backbone_int8(frozen, scope: str = "all"):
     """Frozen CLIP pytree -> copy with the visual-tower block matmuls in
     int8. Everything else (visual embeddings/LNs/proj, the whole text tower,
     logit_scale) is shared by reference with the input pytree.
+
+    scope: "all" (every block matmul) or "attn" (qkv/out only — the MLP
+    stays float and keeps the fused LN->MLP Pallas kernel; see
+    _quantize_block_tree).
 
     The quantized pytree is a drop-in `frozen` argument for every inference
     path (`ops.layers.linear` dispatches on the "w_q" key), including
@@ -143,11 +157,13 @@ def quantize_backbone_int8(frozen):
     `parallel.mesh.shard_backbone` (the TP sharding spec describes the fp
     layout) or to a gradient path.
     """
+    if scope not in ("all", "attn"):
+        raise ValueError(f"scope must be 'all' or 'attn', got {scope!r}")
     visual = dict(frozen["visual"])
     if "blocks" not in visual:
         raise ValueError("int8 tier supports the ViT tower only "
                          "(ModifiedResNet is conv-dominated)")
-    visual["blocks"] = _quantize_block_tree(visual["blocks"])
+    visual["blocks"] = _quantize_block_tree(visual["blocks"], scope)
     out = dict(frozen)
     out["visual"] = visual
     return out

@@ -52,16 +52,19 @@ class AnomalyDetector:
         # use_pallas is safe on any backend: the attention wrapper falls back
         # to the XLA path off-TPU (ops/attention._packed_pallas_ok).
         if quantize is not None:
-            # Serve-time int8 backbone tier (+6% img/s on v5e, numerics
-            # bounds in docs/DESIGN.md). Anchors are computed BELOW with the
-            # full-precision text tower either way (the quantized pytree
-            # shares it), so only the visual block matmuls change.
-            if quantize != "int8":
-                raise ValueError(f"quantize must be None or 'int8', "
-                                 f"got {quantize!r}")
+            # Serve-time int8 backbone tier (numerics bounds in
+            # docs/DESIGN.md). "int8_attn" quantizes only the attention
+            # projections so the MLP keeps the fused Pallas kernel. Anchors
+            # are computed BELOW with the full-precision text tower either
+            # way (the quantized pytree shares it), so only the visual
+            # block matmuls change.
+            if quantize not in ("int8", "int8_attn"):
+                raise ValueError(f"quantize must be None, 'int8' or "
+                                 f"'int8_attn', got {quantize!r}")
             from .ops.quant import quantize_backbone_int8
 
-            frozen = quantize_backbone_int8(frozen)
+            frozen = quantize_backbone_int8(
+                frozen, scope="attn" if quantize == "int8_attn" else "all")
         self.frozen = frozen
         self.trainable = trainable
         self.cfg = model_cfg

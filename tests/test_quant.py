@@ -88,6 +88,31 @@ def test_quantized_backbone_vision_forward(model, rng):
         assert corr > 0.995, corr
 
 
+def test_quantize_scope_attn(model, rng):
+    """scope='attn' quantizes qkv/out only: the MLP stays float (eligible
+    for the fused LN->MLP kernel) and the forward still tracks fp."""
+    cfg, frozen, _ = model
+    qfrozen = quantize_backbone_int8(frozen, scope="attn")
+    blocks = qfrozen["visual"]["blocks"]
+    assert "w_q" in blocks["attn"]["qkv"] and "w_q" in blocks["attn"]["out"]
+    assert "w_q" not in blocks["mlp"]["c_fc"]
+    assert blocks["mlp"]["c_proj"] is frozen["visual"]["blocks"]["mlp"]["c_proj"]
+
+    images = jnp.asarray(
+        rng.standard_normal((2, 3, IMG, IMG)).astype(np.float32))
+    pooled, _, _ = vision_forward(frozen["visual"], cfg.clip.vision, images)
+    pooled_q, _, _ = vision_forward(qfrozen["visual"], cfg.clip.vision,
+                                    images)
+    corr = np.corrcoef(np.asarray(pooled).ravel(),
+                       np.asarray(pooled_q).ravel())[0, 1]
+    assert corr > 0.995, corr
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        quantize_backbone_int8(frozen, scope="mlp")
+
+
 def test_quantized_predict_pipeline(model, rng):
     """End-to-end fused predict with the int8 backbone: finite outputs,
     anomaly maps rank-correlated with the fp pipeline (the bf16-study

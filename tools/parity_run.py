@@ -77,8 +77,9 @@ def build_parser():
     p.add_argument("--compute_dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--use_pallas", action="store_true")
-    p.add_argument("--quantize_backbone", default=None, choices=["int8"],
-                   help="evaluate the int8 inference tier instead of fp — "
+    p.add_argument("--quantize_backbone", default=None,
+                   choices=["int8", "int8_attn"],
+                   help="evaluate an int8 inference tier instead of fp — "
                    "measures the tier's AUROC delta against the same anchor "
                    "table (docs/DESIGN.md)")
     p.add_argument("--seed", type=int, default=111)
@@ -171,11 +172,12 @@ def main(argv=None):
         weights_mode = (f"trained checkpoint ({args.save_path}, "
                         f"epoch {restored['epoch']})")
 
-    if args.quantize_backbone == "int8":
+    if args.quantize_backbone:
         from aa_clip_iqm_tpu.ops.quant import quantize_backbone_int8
 
-        frozen = quantize_backbone_int8(frozen)
-        weights_mode += " + int8 backbone"
+        scope = "attn" if args.quantize_backbone == "int8_attn" else "all"
+        frozen = quantize_backbone_int8(frozen, scope=scope)
+        weights_mode += f" + int8 backbone (scope={scope})"
 
     anchor_table = {}
     if args.anchor_table:
