@@ -118,7 +118,7 @@ def encode_image_adapted(frozen, trainable, cfg: ModelConfig, images,
                          use_pallas: bool = False,
                          remat: bool = False,
                          patch_drop_rng=None,
-                         fused_mlp: bool = True) -> AdaptedOutputs:
+                         fused_mlp=True) -> AdaptedOutputs:
     """AdaptedCLIP.forward (model/adapter.py:137-271), functional.
 
     text_anchors: (B, embed_dim, 2) per-sample anchors, or None to skip IQM.

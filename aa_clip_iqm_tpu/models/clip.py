@@ -150,9 +150,16 @@ def init_clip_params(rng, cfg: CLIPConfig):
 # Forward passes
 # --------------------------------------------------------------------------
 
-# See the comment in vision_forward; benchmarked slower on v5e, kept as an
-# opt-in for future hardware where copies dominate.
-PREPAD_TOKENS = False
+# Pad the token axis once to the 128-lane tile for the whole tower instead
+# of letting the attention kernels pad/slice per layer (see vision_forward).
+# History: before the fused LN->MLP kernel this measured ~3% SLOWER (XLA
+# fused the per-layer pads into the MLP chain for free); with the Pallas MLP
+# those pads became standalone 0.42 ms/layer ops and the balance flipped:
+# ON = 124.3 vs OFF = 114.3 img/s @518 int8_attn (+8.7%). Padding also makes
+# the fused-MLP flatten a free bitcast (1408 % 8 == 0), killing its
+# re-tiling reshapes. Off automatically wherever the packed kernels are
+# (CPU fallback, masked attention, unsupported head layout).
+PREPAD_TOKENS = True
 
 def patchify(params, images, patch_size: int):
     """(B, 3, H, W) -> (B, L, width) via reshape + matmul (== strided conv)."""
@@ -161,6 +168,25 @@ def patchify(params, images, patch_size: int):
     x = images.reshape(b, c, gh, patch_size, gw, patch_size)
     x = x.transpose(0, 2, 4, 1, 3, 5).reshape(b, gh * gw, c * patch_size * patch_size)
     return linear(params["patch_embed"], x)
+
+
+def _maybe_prepad(x, num_heads: int, use_pallas: bool, fused_mlp=True):
+    """Tower-wide token pad to the 128-lane tile (PREPAD_TOKENS).
+
+    Returns (possibly padded x, valid_len or None). valid_len is the real
+    token count for the attention kernels' key mask; None means no padding
+    was applied (already aligned, or a block would take the XLA fallback,
+    which has no key mask). Tied to fused_mlp: without the Pallas MLP in
+    the tower XLA fuses the per-layer pads for free and prepadding only
+    adds FLOPs (XLA-MLP grad path measured 31.17 vs 32.03 img/s; with the
+    frozen-mode kernel prepad wins again, 32.90 vs 32.70)."""
+    valid_len = None
+    n_tokens = x.shape[1]
+    if (PREPAD_TOKENS and use_pallas and fused_mlp and n_tokens % 128
+            and attn_ops._packed_pallas_ok(x, num_heads, None)):
+        valid_len = n_tokens
+        x = jnp.pad(x, ((0, 0), (0, 128 - n_tokens % 128), (0, 0)))
+    return x, valid_len
 
 
 def _run_block(block, x, num_heads, act, attn_mask=None, vv=False,
@@ -185,8 +211,12 @@ def _run_block(block, x, num_heads, act, attn_mask=None, vv=False,
             and pallas_mlp.ln_mlp_residual_ok(x, block["mlp"], act)):
         # Fused LN -> MLP -> residual kernel: hidden activations never touch
         # HBM, GELU overlaps the matmuls (see ops/pallas_mlp.py; ~21% faster
-        # than the XLA chain at the flagship shape).
-        x = pallas_mlp.ln_mlp_residual(block["ln_2"], block["mlp"], x, act)
+        # than the XLA chain at the flagship shape). fused_mlp == "frozen"
+        # additionally uses the Pallas dx-only backward (valid ONLY when the
+        # block params carry no gradient — the stage-2 frozen backbone).
+        fn = (pallas_mlp.ln_mlp_residual_frozen if fused_mlp == "frozen"
+              else pallas_mlp.ln_mlp_residual)
+        x = fn(block["ln_2"], block["mlp"], x, act)
     else:
         x = x + mlp_block(block["mlp"], layer_norm(block["ln_2"], x), act)
     return x
@@ -196,7 +226,7 @@ def run_block_range(stacked, x, start: int, stop: int, num_heads: int, act,
                     attn_mask=None, vv: bool = False, adapters=None,
                     adapter_weight: float = 0.0, use_pallas: bool = False,
                     remat: bool = False, valid_len=None,
-                    fused_mlp: bool = True):
+                    fused_mlp=True):
     """lax.scan blocks [start, stop) of a stacked-parameter tower.
 
     Compile-time design: all homogeneous layer ranges run as one scanned block
@@ -253,7 +283,7 @@ def vision_forward(
     use_pallas: bool = False,
     remat: bool = False,
     keep_idx=None,
-    fused_mlp: bool = True,
+    fused_mlp=True,
 ):
     """ViT forward with multi-depth taps, scanned in homogeneous segments.
 
@@ -284,19 +314,14 @@ def vision_forward(
         x = jnp.concatenate([x[:, :1], kept], axis=1)
     x = layer_norm(params["ln_pre"], x)
 
-    # Tower-wide token padding (opt-in, PREPAD_TOKENS): pad once to the
-    # 128-lane tile instead of letting the attention kernel pad/slice per
-    # layer; the kernel masks keys >= valid_len. Measured on v5e @518px this
-    # trades ~2.8% extra matmul FLOPs (1408 vs 1370 rows everywhere) against
-    # the per-layer pad/slice copies and comes out ~3% *slower* — XLA fuses
-    # those copies well — so it stays off by default. Only safe when every
-    # block takes the packed-kernel path (the XLA fallback has no key mask).
-    valid_len = None
-    n_tokens = x.shape[1]
-    if (PREPAD_TOKENS and use_pallas and n_tokens % 128
-            and attn_ops._packed_pallas_ok(x, cfg.heads, None)):
-        valid_len = n_tokens
-        x = jnp.pad(x, ((0, 0), (0, 128 - n_tokens % 128), (0, 0)))
+    # Tower-wide token padding (PREPAD_TOKENS, see the flag comment): pad
+    # once to the 128-lane tile instead of letting the attention kernel
+    # pad/slice per layer; the kernel masks keys >= valid_len. Trades ~2.8%
+    # extra matmul FLOPs (1408 vs 1370 rows everywhere) for the per-layer
+    # pad/slice copies — a net +8.7% with the Pallas MLP kernel in the
+    # tower. Only safe when every block takes the packed-kernel path (the
+    # XLA fallback has no key mask).
+    x, valid_len = _maybe_prepad(x, cfg.heads, use_pallas, fused_mlp)
 
     act = ACTIVATIONS[act_name]
     events = [adapt_until, *out_layers]
@@ -420,6 +445,7 @@ def dual_vision_features(
     x = jnp.concatenate([cls, x], axis=1)
     x = x + params["positional_embedding"].astype(compute_dtype)
     x = layer_norm(params["ln_pre"], x)
+    x, valid_len = _maybe_prepad(x, cfg.heads, use_pallas)
 
     act = ACTIVATIONS[act_name]
     n_layers = cfg.layers
@@ -429,21 +455,22 @@ def dual_vision_features(
     # while running the prefix once.
     for start, stop in _segments(vv_from, list(out_layers)):
         x = run_block_range(params["blocks"], x, start, stop, cfg.heads, act,
-                            use_pallas=use_pallas)
+                            use_pallas=use_pallas, valid_len=valid_len)
         if stop in out_layers:
-            taps.append(x)
+            taps.append(x if valid_len is None else x[:, :valid_len])
 
     xs = x
     for start, stop in _segments(n_layers, [vv_from, *out_layers]):
         if stop <= vv_from:
             continue
         xs = run_block_range(params["blocks"], xs, start, stop, cfg.heads,
-                             act, vv=True, use_pallas=use_pallas)
+                             act, vv=True, use_pallas=use_pallas,
+                             valid_len=valid_len)
         if stop in out_layers:
-            taps.append(xs)
+            taps.append(xs if valid_len is None else xs[:, :valid_len])
 
     xp = run_block_range(params["blocks"], x, vv_from, n_layers, cfg.heads,
-                         act, use_pallas=use_pallas)
+                         act, use_pallas=use_pallas, valid_len=valid_len)
     pooled = layer_norm(params["ln_post"], xp[:, 0])
     pooled = jnp.dot(pooled, params["proj"].astype(pooled.dtype),
                      preferred_element_type=jnp.float32).astype(xp.dtype)

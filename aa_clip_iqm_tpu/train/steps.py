@@ -175,11 +175,14 @@ def make_stage2_step(cfg: ModelConfig, train_cfg: TrainConfig,
             frozen, trainable, cfg, images, text_anchors=anchors,
             compute_dtype=compute_dtype, use_pallas=use_pallas, remat=remat,
             patch_drop_rng=rng,
-            # The fused LN->MLP kernel's backward re-runs the XLA chain
-            # (custom_vjp), which under remat costs more than it saves:
-            # measured 31.69 vs 32.03 img/s @518. Grad path keeps XLA ops;
-            # inference and stage-1 frozen extraction keep the kernel.
-            fused_mlp=False,
+            # "frozen": fused LN->MLP kernel forward + Pallas dx-only
+            # backward. Valid because the backbone blocks carry no gradient
+            # here (only the adapters train); the general kernel's
+            # XLA-recompute backward measured slower than plain XLA under
+            # remat (31.69 vs 32.03 img/s @518), but the dx-only backward
+            # wins: 2.60 vs 2.91 ms/layer probed at the stage-2 shape,
+            # 32.90 vs 32.07 img/s end-to-end (with tower prepad).
+            fused_mlp="frozen",
         )
         cls_logits = jnp.einsum("bd,bdc->bc",
                                 out.det_token.astype(jnp.float32),

@@ -224,6 +224,35 @@ def test_vision_forward_prepadded_pallas_matches_xla(rng):
                                    rtol=2e-3, atol=2e-4)
 
 
+def test_dual_vision_features_prepadded_matches_xla(rng):
+    """Stage-1 dual forward with tower-wide pre-padding == XLA path: taps
+    come back sliced to the real token count in both branches."""
+    from aa_clip_iqm_tpu.configs import VisionConfig
+    from aa_clip_iqm_tpu.models import clip as jclip
+
+    cfg = VisionConfig(image_size=224, patch_size=14, width=256, layers=3,
+                       head_width=64, output_dim=64)
+    params = jclip.init_vision_params(jax.random.PRNGKey(0), cfg)
+    images = jnp.asarray(
+        rng.standard_normal((1, 3, 224, 224)).astype(np.float32))
+    p_ref, taps_ref = jclip.dual_vision_features(params, cfg, images,
+                                                 out_layers=(1, 3), vv_from=2)
+    old_prepad = jclip.PREPAD_TOKENS
+    jclip.PREPAD_TOKENS = True
+    try:
+        p_out, taps_out = jclip.dual_vision_features(
+            params, cfg, images, out_layers=(1, 3), vv_from=2,
+            use_pallas=True)
+    finally:
+        jclip.PREPAD_TOKENS = old_prepad
+    np.testing.assert_allclose(np.asarray(p_out), np.asarray(p_ref),
+                               rtol=2e-3, atol=2e-4)
+    for a, b in zip(taps_out, taps_ref):
+        assert a.shape == b.shape == (1, 257, 256)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)
+
+
 def test_flash_gradient_matches_sdpa(rng):
     b, h, l, hd = 1, 1, 256, 64
     q, k, v = _rand_qkv(rng, b, h, l, hd)

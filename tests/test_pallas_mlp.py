@@ -103,6 +103,36 @@ def test_custom_vjp_matches_xla_grads(rng):
                                    rtol=0.08, atol=0.08)
 
 
+@pytest.mark.parametrize("act", [gelu, quick_gelu])
+def test_frozen_dx_kernel_matches_xla_xgrad(rng, act):
+    """The dx-only Pallas backward reproduces XLA's x-cotangent (frozen
+    params); ln/mlp cotangents come back as zeros."""
+    ln, mlp = _params(rng, 128, 256)
+    x = jnp.asarray(rng.standard_normal((130, 128)), jnp.bfloat16)
+    g = jnp.asarray(rng.standard_normal((130, 128)), jnp.bfloat16)
+
+    _, vjp_x = jax.vjp(lambda xx: _xla(ln, mlp, xx, act), x)
+    (dx_ref,) = vjp_x(g)
+
+    _, vjp_k = jax.vjp(
+        lambda lp, mp, xx: pm.ln_mlp_residual_frozen(lp, mp, xx, act),
+        ln, mlp, x)
+    dln, dmlp, dx = vjp_k(g)
+    np.testing.assert_allclose(np.asarray(dx, np.float32),
+                               np.asarray(dx_ref, np.float32),
+                               rtol=0.08, atol=0.08)
+    for leaf in jax.tree.leaves((dln, dmlp)):
+        assert not np.any(np.asarray(leaf))
+
+
+def test_frozen_forward_equals_general(rng):
+    ln, mlp = _params(rng, 128, 256)
+    x = jnp.asarray(rng.standard_normal((64, 128)), jnp.bfloat16)
+    a = np.asarray(pm.ln_mlp_residual(ln, mlp, x, gelu), np.float32)
+    b = np.asarray(pm.ln_mlp_residual_frozen(ln, mlp, x, gelu), np.float32)
+    np.testing.assert_array_equal(a, b)
+
+
 def test_block_dispatch_uses_kernel(rng, monkeypatch):
     """_run_block routes through the fused kernel when the gate passes."""
     from aa_clip_iqm_tpu.models import clip as clip_mod
