@@ -58,8 +58,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                                  # (BLK_Q, blk_k)
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kb * blk_k
-        s = jnp.where(col < seq_len, s, -jnp.inf)
+        if (kb + 1) * blk_k > seq_len:  # static: boundary/pad chunks only
+            s = s + _mask_bias(blk_k, seq_len, offset=kb * blk_k)
 
         m_new = jnp.maximum(m_i, jnp.max(s, axis=1, keepdims=True))
         alpha = jnp.exp(m_i - m_new)
@@ -75,6 +75,16 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int,
     o_ref[0] = (acc / l_i).astype(o_ref.dtype)
 
 
+def _mask_bias(n_cols: int, seq_len: int, offset: int = 0):
+    """(1, n_cols) additive bias: 0 for real keys, -inf for padded ones.
+
+    Folding the pad mask into one broadcast add is ~2 full VPU passes
+    cheaper than the iota/compare/select triple over the (blk_q, L) score
+    row the naive mask costs."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, n_cols), 1) + offset
+    return jnp.where(col < seq_len, 0.0, -jnp.inf).astype(jnp.float32)
+
+
 def _row_kernel_grouped(q_ref, k_ref, v_ref, o_ref, *, scale: float,
                         seq_len: int, heads_per_block: int):
     """Whole-row attention over a panel of `heads_per_block` heads.
@@ -85,6 +95,8 @@ def _row_kernel_grouped(q_ref, k_ref, v_ref, o_ref, *, scale: float,
     kernel. Refs: (1, BLK_Q, G*hd) / (1, L_pad, G*hd)."""
     g = heads_per_block
     hd = q_ref.shape[-1] // g
+    l_pad = k_ref.shape[1]
+    bias = _mask_bias(l_pad, seq_len) if seq_len < l_pad else None
     for i in range(g):
         sl = slice(i * hd, (i + 1) * hd)
         q = q_ref[0, :, sl].astype(jnp.float32) * scale
@@ -95,8 +107,8 @@ def _row_kernel_grouped(q_ref, k_ref, v_ref, o_ref, *, scale: float,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < seq_len, s, -jnp.inf)
+        if bias is not None:
+            s = s + bias
         m = jnp.max(s, axis=1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=1, keepdims=True)
@@ -121,8 +133,8 @@ def _row_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int):
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                                          # (BLK_Q, L_pad)
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col < seq_len, s, -jnp.inf)
+    if seq_len < k.shape[0]:
+        s = s + _mask_bias(k.shape[0], seq_len)
     m = jnp.max(s, axis=1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=1, keepdims=True)
@@ -350,8 +362,8 @@ def _bwd_kernel_grouped(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
             q, k.astype(jnp.float32),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)            # (blk, L)
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < seq_len, s, -jnp.inf)
+        if seq_len < s.shape[1]:
+            s = s + _mask_bias(s.shape[1], seq_len)
         m = jnp.max(s, axis=1, keepdims=True)
         p = jnp.exp(s - m)
         p = p / jnp.sum(p, axis=1, keepdims=True)          # (blk, L)
@@ -421,8 +433,8 @@ def _vv_bwd_kernel_grouped(aq_ref, a_ref, g_ref, dv_ref, dv_acc, *,
             a_j.astype(jnp.float32) * scale, a.astype(jnp.float32),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)            # (blk, L)
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < seq_len, s, -jnp.inf)
+        if seq_len < s.shape[1]:
+            s = s + _mask_bias(s.shape[1], seq_len)
         m = jnp.max(s, axis=1, keepdims=True)
         p = jnp.exp(s - m)
         p = p / jnp.sum(p, axis=1, keepdims=True)          # (blk, L)
