@@ -31,6 +31,7 @@ TPU-first choices vs the reference:
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional, Sequence
 
 import jax
@@ -161,6 +162,13 @@ def init_clip_params(rng, cfg: CLIPConfig):
 # (CPU fallback, masked attention, unsupported head layout).
 PREPAD_TOKENS = True
 
+# Route the whole attention residual branch (LN -> qkv -> attention ->
+# out-proj -> residual) through the single fused Pallas kernel in
+# ops/pallas_attn_block.py instead of the XLA LN/projections + flash-attention
+# chain. Opt-in (env AACLIP_FUSED_ATTN=1): see docs/DESIGN.md for the
+# on-chip A/B at the flagship shape.
+FUSED_ATTN = os.environ.get("AACLIP_FUSED_ATTN", "0") == "1"
+
 def patchify(params, images, patch_size: int):
     """(B, 3, H, W) -> (B, L, width) via reshape + matmul (== strided conv)."""
     b, c, h, w = images.shape
@@ -197,15 +205,28 @@ def _run_block(block, x, num_heads, act, attn_mask=None, vv=False,
     and the original-path output is not computed at all (the reference computes
     and discards it, model/transformer.py:148-152).
     """
-    h = layer_norm(block["ln_1"], x)
-    if vv:
-        a = attn_ops.vv_attention(block["attn"], h, num_heads,
-                                  use_pallas=use_pallas, valid_len=valid_len)
+    from ..ops import pallas_attn_block, pallas_mlp
+
+    if (use_pallas and FUSED_ATTN and attn_mask is None
+            and pallas_attn_block.ln_attn_residual_ok(
+                x, block["attn"], num_heads)):
+        # Fully-fused attention branch: LN, qkv, softmax-attention, out-proj
+        # and residual in one VMEM-resident kernel (ops/pallas_attn_block.py).
+        # Opt-in via FUSED_ATTN / AACLIP_FUSED_ATTN=1 (see docs/DESIGN.md
+        # for the on-chip A/B vs the flash chain).
+        x = pallas_attn_block.ln_attn_residual(
+            block["ln_1"], block["attn"], x, num_heads, vv, valid_len)
     else:
-        a = attn_ops.mha(block["attn"], h, num_heads, attn_mask=attn_mask,
-                         use_pallas=use_pallas, valid_len=valid_len)
-    x = x + a
-    from ..ops import pallas_mlp
+        h = layer_norm(block["ln_1"], x)
+        if vv:
+            a = attn_ops.vv_attention(block["attn"], h, num_heads,
+                                      use_pallas=use_pallas,
+                                      valid_len=valid_len)
+        else:
+            a = attn_ops.mha(block["attn"], h, num_heads,
+                             attn_mask=attn_mask, use_pallas=use_pallas,
+                             valid_len=valid_len)
+        x = x + a
 
     if (use_pallas and fused_mlp
             and pallas_mlp.ln_mlp_residual_ok(x, block["mlp"], act)):
