@@ -119,20 +119,10 @@ def main():
             os.path.join(args.save_path, "text_adapter.pth"))
         logger.info("imported reference adapters from %s", args.save_path)
     elif not args.no_adapters:
-        restored_text = ckpt.load_stage1(args.save_path,
-                                         trainable["text_adapter"])
-        if restored_text is not None:
-            trainable = dict(trainable)
-            trainable["text_adapter"] = restored_text["params"]
-            adapt_text = True
-        restored = ckpt.load_stage2(args.save_path, trainable,
-                                    latest_numbered=True)
-        if restored is None:
-            raise FileNotFoundError(
-                f"image adapter checkpoint not found under {args.save_path}")
-        trainable = restored["params"]
+        trainable, adapt_text, epoch = ckpt.restore_adapters(args.save_path,
+                                                             trainable)
         logger.info("-----------------------------------------------")
-        logger.info("load model from epoch %d", restored["epoch"])
+        logger.info("load model from epoch %d", epoch)
         logger.info("-----------------------------------------------")
 
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[

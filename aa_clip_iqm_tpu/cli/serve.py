@@ -49,6 +49,7 @@ import io
 import json
 import logging
 import threading
+from concurrent import futures
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlsplit
 
@@ -102,11 +103,18 @@ class PredictHandler(BaseHTTPRequestHandler):
     def log_message(self, fmt, *args):  # route to logging, not stderr
         logger.info("%s %s", self.address_string(), fmt % args)
 
-    def _send_json(self, obj, status: int = 200):
+    def _send_json(self, obj, status: int = 200, close: bool = False):
         body = json.dumps(obj).encode()
         self.send_response(status)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
+        if close:
+            # Error paths may respond without having consumed the request
+            # body; on an HTTP/1.1 keep-alive connection the unread bytes
+            # would be parsed as the next request line. Closing discards
+            # them.
+            self.send_header("Connection", "close")
+            self.close_connection = True
         self.end_headers()
         self.wfile.write(body)
 
@@ -185,7 +193,9 @@ class PredictHandler(BaseHTTPRequestHandler):
             return fut.result(timeout=self.server.request_timeout)
         except KeyError as exc:
             raise _HTTPError(404, str(exc.args[0]) if exc.args else str(exc))
-        except TimeoutError:
+        # concurrent.futures.TimeoutError only aliases the builtin from
+        # Python 3.11; catch both for the 3.10 floor in pyproject.
+        except (TimeoutError, futures.TimeoutError):
             raise _HTTPError(504, "prediction timed out")
         except RuntimeError as exc:
             raise _HTTPError(503, str(exc))
@@ -198,7 +208,8 @@ class PredictHandler(BaseHTTPRequestHandler):
         elif path == "/v1/classes":
             self._send_json({"classes": self.server.meta["classes"]})
         else:
-            self._send_json({"error": f"no such endpoint: {path}"}, 404)
+            self._send_json({"error": f"no such endpoint: {path}"}, 404,
+                            close=True)
 
     def do_POST(self):
         split = urlsplit(self.path)
@@ -213,10 +224,11 @@ class PredictHandler(BaseHTTPRequestHandler):
             else:
                 raise _HTTPError(404, f"no such endpoint: {path}")
         except _HTTPError as exc:
-            self._send_json({"error": str(exc)}, exc.status)
-        except Exception as exc:  # defensive: never kill the connection
+            self._send_json({"error": str(exc)}, exc.status, close=True)
+        except Exception as exc:  # defensive: never kill the server thread
             logger.exception("unhandled error")
-            self._send_json({"error": f"internal error: {exc}"}, 500)
+            self._send_json({"error": f"internal error: {exc}"}, 500,
+                            close=True)
 
     def _predict_one(self, query, map_mode):
         body = self._read_body()

@@ -81,15 +81,8 @@ def main():
 
     use_ckpt = args.save_path and ckpt.latest_numbered_dir(args.save_path)
     if use_ckpt:
-        restored_text = ckpt.load_stage1(args.save_path,
-                                         trainable["text_adapter"])
-        adapted = restored_text is not None
-        if adapted:
-            trainable = dict(trainable)
-            trainable["text_adapter"] = restored_text["params"]
-        restored = ckpt.load_stage2(args.save_path, trainable,
-                                    latest_numbered=True)
-        trainable = restored["params"]
+        trainable, adapted, _ = ckpt.restore_adapters(args.save_path,
+                                                      trainable)
 
         def encode(tokens):
             if adapted:

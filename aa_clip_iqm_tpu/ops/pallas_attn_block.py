@@ -37,7 +37,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_attention import INTERPRET as _INTERPRET_DEFAULT  # noqa: F401
 from .pallas_attention import LANE, _mask_bias
 
 # Tests flip this (together with pallas_attention.INTERPRET) to run the
@@ -121,6 +120,8 @@ def ln_attn_residual_ok(x, attn_params, num_heads: int) -> bool:
         return False
     if x.dtype != jnp.bfloat16 or x.ndim != 3:
         return False
+    if "w" not in attn_params["qkv"]:   # int8-quantized ({'w_q','scale','b'})
+        return False
     w = attn_params["qkv"]["w"]
     d = x.shape[-1]
     if not jnp.issubdtype(w.dtype, jnp.floating):
@@ -149,8 +150,7 @@ def ln_attn_residual(ln_params, attn_params, x, num_heads: int,
     group = max(1, LANE // hd)
     panel = group * hd
     n_panels = d // panel
-    sec = 0 if not vv else 2           # v-v: all operands from the v columns
-    q_sec, k_sec = (2, 2) if vv else (0, 1)
+    q_sec, k_sec = (2, 2) if vv else (0, 1)  # v-v: all panels from v columns
     seq_len = valid_len if valid_len is not None else l_pad
     scale = hd ** -0.5
 

@@ -167,9 +167,3 @@ def quantize_backbone_int8(frozen, scope: str = "all"):
     out = dict(frozen)
     out["visual"] = visual
     return out
-
-
-def is_quantized(params) -> bool:
-    """True if any linear in the pytree carries an int8-quantized weight."""
-    return any(leaf.dtype == jnp.int8 for leaf in jax.tree.leaves(params)
-               if hasattr(leaf, "dtype"))

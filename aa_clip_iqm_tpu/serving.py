@@ -40,6 +40,34 @@ from .train.driver import compute_frozen_anchors
 DEFAULT_BATCH_BUCKETS = (1, 8, 16, 32)
 
 
+def _bucketed(images, buckets, split, run):
+    """Bucket fit/pad/split shared by the four predict entry points.
+
+    Empty batches short-circuit to empty (0, H, W)/(0,) results; batches
+    larger than the biggest bucket are split into largest-bucket chunks via
+    ``split(start, stop)`` (re-entering the public method so each chunk is
+    bucketed in turn); everything else is zero-padded up to the smallest
+    fitting bucket and dispatched once through ``run(padded, bucket, n)``,
+    which slices the pad rows back off.
+    """
+    n = images.shape[0]
+    if n == 0:
+        return (np.zeros((0,) + tuple(images.shape[-2:]), np.float32),
+                np.zeros((0,), np.float32))
+    fitting = [b for b in buckets if b >= n]
+    if not fitting:
+        bucket = buckets[-1]
+        maps, scores = zip(*(split(i, min(i + bucket, n))
+                             for i in range(0, n, bucket)))
+        return np.concatenate(maps), np.concatenate(scores)
+    bucket = fitting[0]
+    if bucket != n:
+        images = np.concatenate(
+            [images, np.zeros((bucket - n,) + tuple(images.shape[1:]),
+                              np.float32)], axis=0)
+    return run(images, bucket, n)
+
+
 class AnomalyDetector:
     """Batched anomaly-map inference for one dataset's class vocabulary."""
 
@@ -98,16 +126,8 @@ class AnomalyDetector:
         trainable = init_trainable(cfg)
         adapted_text = False
         if save_path:
-            restored_text = ckpt.load_stage1(save_path,
-                                             trainable["text_adapter"])
-            if restored_text is not None:
-                trainable = dict(trainable)
-                trainable["text_adapter"] = restored_text["params"]
-                adapted_text = True
-            restored = ckpt.load_stage2(save_path, trainable,
-                                        latest_numbered=True)
-            if restored is not None:
-                trainable = restored["params"]
+            trainable, adapted_text, _ = ckpt.restore_adapters(
+                save_path, trainable, require_stage2=False)
         return cls(frozen, trainable, cfg, dataset, img_size=img_size,
                    adapted_text=adapted_text, **kwargs)
 
@@ -130,24 +150,18 @@ class AnomalyDetector:
         if class_name not in self.anchors:
             raise KeyError(
                 f"unknown class {class_name!r}; available: {self.class_names()}")
-        n = images.shape[0]
-        fitting = [b for b in self._buckets if b >= n]
-        if not fitting:  # larger than the biggest bucket: split
-            bucket = self._buckets[-1]
-            maps, scores = zip(*(
-                self.predict(images[i:i + bucket], class_name)
-                for i in range(0, n, bucket)))
-            return np.concatenate(maps), np.concatenate(scores)
-        bucket = fitting[0]
-        if bucket != n:
-            images = np.concatenate(
-                [images, np.zeros((bucket - n,) + tuple(images.shape[1:]),
-                                  np.float32)], axis=0)
-        anchor = self.anchors[class_name]
-        anchors_b = jnp.broadcast_to(anchor[None], (bucket,) + anchor.shape)
-        maps, scores = self._predict(self.frozen, self.trainable,
-                                     jnp.asarray(images), anchors_b)
-        return np.asarray(maps)[:n], np.asarray(scores)[:n]
+
+        def run(padded, bucket, n):
+            anchor = self.anchors[class_name]
+            anchors_b = jnp.broadcast_to(anchor[None],
+                                         (bucket,) + anchor.shape)
+            maps, scores = self._predict(self.frozen, self.trainable,
+                                         jnp.asarray(padded), anchors_b)
+            return np.asarray(maps)[:n], np.asarray(scores)[:n]
+
+        return _bucketed(images, self._buckets,
+                         lambda i, j: self.predict(images[i:j], class_name),
+                         run)
 
     def predict_multi(self, images: np.ndarray,
                       class_names: Sequence[str]
@@ -166,24 +180,19 @@ class AnomalyDetector:
             raise KeyError(
                 f"unknown class {unknown[0]!r}; available: "
                 f"{self.class_names()}")
-        fitting = [b for b in self._buckets if b >= n]
-        if not fitting:
-            bucket = self._buckets[-1]
-            maps, scores = zip(*(
-                self.predict_multi(images[i:i + bucket],
-                                   class_names[i:i + bucket])
-                for i in range(0, n, bucket)))
-            return np.concatenate(maps), np.concatenate(scores)
-        bucket = fitting[0]
-        if bucket != n:
-            images = np.concatenate(
-                [images, np.zeros((bucket - n,) + tuple(images.shape[1:]),
-                                  np.float32)], axis=0)
-        pad_names = list(class_names) + [class_names[-1]] * (bucket - n)
-        anchors_b = jnp.stack([self.anchors[c] for c in pad_names], axis=0)
-        maps, scores = self._predict(self.frozen, self.trainable,
-                                     jnp.asarray(images), anchors_b)
-        return np.asarray(maps)[:n], np.asarray(scores)[:n]
+
+        def run(padded, bucket, n):
+            pad_names = list(class_names) + [class_names[-1]] * (bucket - n)
+            anchors_b = jnp.stack([self.anchors[c] for c in pad_names],
+                                  axis=0)
+            maps, scores = self._predict(self.frozen, self.trainable,
+                                         jnp.asarray(padded), anchors_b)
+            return np.asarray(maps)[:n], np.asarray(scores)[:n]
+
+        return _bucketed(images, self._buckets,
+                         lambda i, j: self.predict_multi(images[i:j],
+                                                         class_names[i:j]),
+                         run)
 
     def predict_paths(self, paths: Sequence[str],
                       class_name: str) -> Tuple[np.ndarray, np.ndarray]:
@@ -378,22 +387,16 @@ class ExportedPredictor:
             raise ValueError(
                 f"expected (B, 3, {img}, {img}) images (the exported "
                 f"programs are shape-specialized), got {images.shape}")
-        n = images.shape[0]
-        sizes = self.manifest["batch_sizes"]
-        fitting = [b for b in sizes if b >= n]
-        bucket = fitting[0] if fitting else sizes[-1]
-        if not fitting:  # larger than the biggest exported bucket: split
-            maps, scores = zip(*(
-                self.predict(images[i:i + bucket], class_name)
-                for i in range(0, n, bucket)))
-            return np.concatenate(maps), np.concatenate(scores)
-        if bucket != n:
-            images = np.concatenate(
-                [images, np.zeros((bucket - n,) + tuple(images.shape[1:]),
-                                  np.float32)], axis=0)
-        anchor = self.anchors[class_name]
-        anchors_b = jnp.broadcast_to(anchor[None], (bucket,) + anchor.shape)
-        return self._call(images, anchors_b, n)
+
+        def run(padded, bucket, n):
+            anchor = self.anchors[class_name]
+            anchors_b = jnp.broadcast_to(anchor[None],
+                                         (bucket,) + anchor.shape)
+            return self._call(padded, anchors_b, n)
+
+        return _bucketed(images, self.manifest["batch_sizes"],
+                         lambda i, j: self.predict(images[i:j], class_name),
+                         run)
 
     def predict_multi(self, images: np.ndarray,
                       class_names: Sequence[str]
@@ -414,23 +417,17 @@ class ExportedPredictor:
             raise ValueError(
                 f"expected (B, 3, {img}, {img}) images (the exported "
                 f"programs are shape-specialized), got {images.shape}")
-        sizes = self.manifest["batch_sizes"]
-        fitting = [b for b in sizes if b >= n]
-        if not fitting:
-            bucket = sizes[-1]
-            maps, scores = zip(*(
-                self.predict_multi(images[i:i + bucket],
-                                   class_names[i:i + bucket])
-                for i in range(0, n, bucket)))
-            return np.concatenate(maps), np.concatenate(scores)
-        bucket = fitting[0]
-        if bucket != n:
-            images = np.concatenate(
-                [images, np.zeros((bucket - n,) + tuple(images.shape[1:]),
-                                  np.float32)], axis=0)
-        pad_names = list(class_names) + [class_names[-1]] * (bucket - n)
-        anchors_b = jnp.stack([self.anchors[c] for c in pad_names], axis=0)
-        return self._call(images, anchors_b, n)
+
+        def run(padded, bucket, n):
+            pad_names = list(class_names) + [class_names[-1]] * (bucket - n)
+            anchors_b = jnp.stack([self.anchors[c] for c in pad_names],
+                                  axis=0)
+            return self._call(padded, anchors_b, n)
+
+        return _bucketed(images, self.manifest["batch_sizes"],
+                         lambda i, j: self.predict_multi(images[i:j],
+                                                         class_names[i:j]),
+                         run)
 
     def _call(self, images, anchors_b, n):
         program = self._program(anchors_b.shape[0])

@@ -114,3 +114,29 @@ def latest_numbered_dir(save_path: str) -> Optional[str]:
             best_n = int(m.group(1))
             best = os.path.join(save_path, name)
     return best
+
+
+def restore_adapters(save_path: str, trainable,
+                     require_stage2: bool = True):
+    """Evaluation-time restore shared by every entry point (serving,
+    evaluate/single-image CLIs, parity runner): stage-1 text adapter if
+    present, then the numerically-latest stage-2 checkpoint
+    (test_last.py:231-248 semantics).
+
+    Returns ``(trainable, adapted_text, epoch)``; ``epoch`` is None when no
+    stage-2 checkpoint exists (only reachable with require_stage2=False —
+    the zero-shot fallback; otherwise FileNotFoundError).
+    """
+    adapted = False
+    restored_text = load_stage1(save_path, trainable["text_adapter"])
+    if restored_text is not None:
+        trainable = dict(trainable)
+        trainable["text_adapter"] = restored_text["params"]
+        adapted = True
+    restored = load_stage2(save_path, trainable, latest_numbered=True)
+    if restored is None:
+        if require_stage2:
+            raise FileNotFoundError(
+                f"no stage-2 image-adapter checkpoint under {save_path}")
+        return trainable, adapted, None
+    return restored["params"], adapted, restored["epoch"]

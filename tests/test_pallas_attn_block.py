@@ -67,6 +67,12 @@ def test_gate_conditions(rng):
     q = {"qkv": {"w": attn["qkv"]["w"].astype(jnp.int8),
                  "b": attn["qkv"]["b"]}, "out": attn["out"]}
     assert not pb.ln_attn_residual_ok(x, q, 2)
+    # int8 tier replaces 'w' with {'w_q','scale'}; the gate must return
+    # False, not KeyError (regression).
+    q8 = {"qkv": {"w_q": attn["qkv"]["w"].astype(jnp.int8),
+                  "scale": jnp.ones(384), "b": attn["qkv"]["b"]},
+          "out": attn["out"]}
+    assert not pb.ln_attn_residual_ok(x, q8, 2)
     # hd=32 -> 4 heads/panel is fine; heads not divisible by group is not.
     assert pb.ln_attn_residual_ok(x, attn, 4)
     assert not pb.ln_attn_residual_ok(x, attn, 128 // 42)

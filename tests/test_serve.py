@@ -236,3 +236,26 @@ def test_error_mapping(server_stack, rng):
     status, body = _post(base + "/v1/predict?class_name=widget&map=wat",
                          _npy_bytes(image), "application/octet-stream")
     assert status == 400
+
+
+def test_error_closes_keepalive_connection(server_stack, rng):
+    """Error paths may respond before draining the request body; on an
+    HTTP/1.1 keep-alive connection the server must send Connection: close so
+    leftover body bytes are never parsed as the next request line."""
+    import http.client
+
+    base, _, _ = server_stack
+    host, port = base.removeprefix("http://").split(":")
+    conn = http.client.HTTPConnection(host, int(port), timeout=120)
+    try:
+        conn.request("POST", "/v1/nope", body=b"x" * 1024,
+                     headers={"Content-Type": "application/octet-stream"})
+        resp = conn.getresponse()
+        assert resp.status == 404
+        assert resp.getheader("Connection", "").lower() == "close"
+        resp.read()
+    finally:
+        conn.close()
+    # A fresh request after the error still works (server thread survived).
+    status, body = _get(base + "/v1/health")
+    assert status == 200 and body["status"] == "ok"

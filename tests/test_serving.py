@@ -500,3 +500,19 @@ def test_exported_predict_multi_roundtrip(trained, rng, tmp_path):
     maps, scores = pred.predict_multi(images, names)  # 3 > bucket 2: split
     np.testing.assert_allclose(maps, ref_maps, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(scores, ref_scores, rtol=1e-4, atol=1e-5)
+
+
+def test_empty_batch_returns_empty(trained, rng):
+    """predict/predict_multi on a zero-row batch return empty results
+    instead of crashing in the pad path (regression: IndexError on
+    class_names[-1] with an empty list)."""
+    root, save_path, cfg, frozen = trained
+    det = AnomalyDetector(
+        frozen, _restored_trainable(save_path, cfg), cfg, "Synth",
+        img_size=IMG, adapted_text=True, compute_dtype=np.float32,
+        use_pallas=False, batch_buckets=(1, 2))
+    empty = np.zeros((0, 3, IMG, IMG), np.float32)
+    maps, scores = det.predict(empty, "widget")
+    assert maps.shape == (0, IMG, IMG) and scores.shape == (0,)
+    maps, scores = det.predict_multi(empty, [])
+    assert maps.shape == (0, IMG, IMG) and scores.shape == (0,)

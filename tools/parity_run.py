@@ -157,20 +157,13 @@ def main(argv=None):
             os.path.join(args.reference_ckpt, "text_adapter.pth"))
         weights_mode = f"reference adapters ({args.reference_ckpt})"
     elif args.save_path:
-        restored_text = ckpt.load_stage1(args.save_path,
-                                         trainable["text_adapter"])
-        if restored_text is not None:
-            trainable = dict(trainable)
-            trainable["text_adapter"] = restored_text["params"]
-            adapt_text = True
-        restored = ckpt.load_stage2(args.save_path, trainable,
-                                    latest_numbered=True)
-        if restored is None:
-            raise SystemExit(
-                f"no stage-2 checkpoint under {args.save_path}")
-        trainable = restored["params"]
+        try:
+            trainable, adapt_text, epoch = ckpt.restore_adapters(
+                args.save_path, trainable)
+        except FileNotFoundError as exc:
+            raise SystemExit(str(exc))
         weights_mode = (f"trained checkpoint ({args.save_path}, "
-                        f"epoch {restored['epoch']})")
+                        f"epoch {epoch})")
 
     if args.quantize_backbone:
         from aa_clip_iqm_tpu.ops.quant import quantize_backbone_int8
