@@ -73,6 +73,11 @@ def build_parser():
                         help="shard batches over all local devices")
     parser.add_argument("--use_pallas", action="store_true",
                         help="Pallas flash attention in the backbone")
+    parser.add_argument("--clip_grad_norm", type=float, default=None,
+                        help="global-norm gradient clip for stage 2. Default "
+                        "off = the executed reference (its clip_grad_norm_ "
+                        "runs before backward, so it never clips the real "
+                        "update — survey Q4)")
     parser.add_argument("--torch_lr_quirk", action="store_true",
                         help="reproduce the reference's per-batch-stepped "
                         "T_max=epochs cosine schedule")
@@ -123,6 +128,7 @@ def main():
         save_path=args.save_path, compute_dtype=args.compute_dtype,
         torch_lr_quirk=args.torch_lr_quirk, remat=args.remat,
         keep_checkpoints=args.keep_checkpoints,
+        clip_grad_norm=args.clip_grad_norm,
     )
     if args.debug_nans:
         from aa_clip_iqm_tpu.utils.profiling import enable_nan_checks

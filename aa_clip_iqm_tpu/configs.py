@@ -178,6 +178,11 @@ class TrainConfig:
     # loss so only the deepest tapped level backprops (train.py:87-96). True
     # reproduces that; False sums all levels.
     stage1_last_level_only: bool = True
+    # Global-norm gradient clipping. None (default) matches the executed
+    # reference: its clip_grad_norm_ runs BEFORE zero_grad()/backward()
+    # (train.py:207-210 — survey Q4), so it clips stale/zero grads and the
+    # actual update is never clipped. Set a float to clip for real.
+    clip_grad_norm: "float | None" = None
     # Fidelity switch for the reference's LR-schedule quirk (train.py:222,353):
     # CosineAnnealingLR(T_max=image_epoch) stepped per *batch*. False (default)
     # runs one cosine over the true total step count.

@@ -7,8 +7,9 @@ augmentations, emitting numpy batches ready for device transfer.
 Semantics preserved:
   - metadata JSONL rows {image_path, label, class_name, mask_path}.
   - train transform: per-channel ColorJitter (brightness/contrast/saturation
-    0.5, each applied with p=0.7; image stage only, not text stage) then CLIP
-    bicubic resize + normalize; mask nearest-resized and binarized; then
+    0.5, each applied with p=0.7; image stage only, not text stage) at the
+    ORIGINAL resolution, then CLIP bicubic resize + normalize (the
+    reference's transform_x order); mask nearest-resized and binarized; then
     *joint* geometric augmentation on the stacked 4-channel image+mask:
     rotation ±30° p=0.5, translate ±0.15 p=0.5, H/V flip p=0.5 each
     (dataset/__init__.py:37-102).
@@ -81,21 +82,57 @@ def normalize_clip(img01: np.ndarray) -> np.ndarray:
     return (img01 - _MEAN) / _STD
 
 
-def _color_jitter(rng: np.random.Generator, img01: np.ndarray) -> np.ndarray:
-    """Brightness/contrast/saturation jitter (strength 0.5, each p=0.7),
-    torchvision-equivalent formulas, applied on [0,1] CHW."""
+def _u8_quantize(img01: np.ndarray) -> np.ndarray:
+    """Round [0,1] floats onto the uint8 grid (PIL enhance ops return uint8
+    images, so every jitter stage requantizes in the reference)."""
+    return np.round(np.clip(img01, 0.0, 1.0) * 255.0) / np.float32(255.0)
+
+
+def _color_jitter(rng: np.random.Generator, img01: np.ndarray,
+                  factors=None) -> np.ndarray:
+    """Brightness/contrast/saturation jitter (strength 0.5, each applied
+    with p=0.7), torchvision PIL-backend formulas, on [0,1] CHW.
+
+    Runs at the ORIGINAL image resolution, before the bicubic resize — the
+    reference's transform_x composes [ColorJitter ×3, Resize, ToTensor,
+    Normalize] (dataset/__init__.py:48-67), so the contrast/saturation
+    grayscale statistics come from the full-resolution image and the
+    jittered uint8 result is what gets resampled. ``factors`` overrides the
+    three draw factors for the parity test."""
     img = img01
-    if rng.random() < 0.7:  # brightness: img * f, f ~ U[0.5, 1.5]
-        img = np.clip(img * rng.uniform(0.5, 1.5), 0, 1)
-    if rng.random() < 0.7:  # contrast: blend with mean of grayscale
-        f = rng.uniform(0.5, 1.5)
-        gray = (0.299 * img[0] + 0.587 * img[1] + 0.114 * img[2]).mean()
-        img = np.clip(f * img + (1 - f) * gray, 0, 1)
-    if rng.random() < 0.7:  # saturation: blend with grayscale image
-        f = rng.uniform(0.5, 1.5)
-        gray = (0.299 * img[0] + 0.587 * img[1] + 0.114 * img[2])[None]
-        img = np.clip(f * img + (1 - f) * gray, 0, 1)
-    return img
+    fb, fc, fs = factors if factors is not None else (None, None, None)
+    if factors is not None or rng.random() < 0.7:
+        f = fb if fb is not None else rng.uniform(0.5, 1.5)
+        img = _u8_quantize(img * f)               # ImageEnhance.Brightness
+    if factors is not None or rng.random() < 0.7:
+        f = fc if fc is not None else rng.uniform(0.5, 1.5)
+        # ImageEnhance.Contrast: blend with the ROUNDED mean of the L image
+        # (torchvision F_pil.adjust_contrast rounds ImageStat's mean).
+        l = _u8_quantize(0.299 * img[0] + 0.587 * img[1] + 0.114 * img[2])
+        gray = np.round(l.mean() * 255.0) / np.float32(255.0)
+        img = _u8_quantize(f * img + (1 - f) * gray)
+    if factors is not None or rng.random() < 0.7:
+        f = fs if fs is not None else rng.uniform(0.5, 1.5)
+        # ImageEnhance.Color: blend with the L image.
+        gray = _u8_quantize(0.299 * img[0] + 0.587 * img[1]
+                            + 0.114 * img[2])[None]
+        img = _u8_quantize(f * img + (1 - f) * gray)
+    return img.astype(np.float32)
+
+
+def _resize_bicubic01(img01: np.ndarray, img_size: int) -> np.ndarray:
+    """[0,1] CHW (uint8-quantized values) -> bicubic resize to img_size.
+    Lossless uint8 round-trip feeds the same native/PIL kernels as
+    _load_image."""
+    u8 = np.round(img01 * 255.0).astype(np.uint8).transpose(1, 2, 0)
+    if u8.shape[:2] == (img_size, img_size):
+        return img01.astype(np.float32)
+    if _use_native():
+        return native_pipeline.resize_bicubic_rgb(u8, img_size)
+    arr = np.asarray(Image.fromarray(u8).resize((img_size, img_size),
+                                                Image.BICUBIC),
+                     np.float32) / 255.0
+    return arr.transpose(2, 0, 1)
 
 
 def _joint_geometric(rng: np.random.Generator, stacked: np.ndarray) -> np.ndarray:
@@ -161,10 +198,16 @@ class TrainDataset:
 
     def __getitem__(self, idx: int) -> dict:
         meta = self.meta[idx]
-        img01 = _load_image(os.path.join(self.data_path, meta["image_path"]),
-                            self.img_size)
-        if not self.text:
-            img01 = _color_jitter(self.rng, img01)
+        path = os.path.join(self.data_path, meta["image_path"])
+        if self.text:
+            img01 = _load_image(path, self.img_size)
+        else:
+            # Jitter BEFORE the resize, at original resolution (reference
+            # transform_x order — see _color_jitter).
+            raw = Image.open(path).convert("RGB")
+            raw01 = np.asarray(raw, np.float32).transpose(2, 0, 1) / 255.0
+            img01 = _resize_bicubic01(_color_jitter(self.rng, raw01),
+                                      self.img_size)
         img = normalize_clip(img01)
         if meta["label"]:
             mask = _load_mask(os.path.join(self.data_path, meta["mask_path"]),

@@ -122,7 +122,29 @@ def fuse_maps(text_maps: Sequence, iqm_maps: Sequence,
 
 
 def image_logit(det_token, anchors):
-    """(det @ anchors)[:, 1]+1)/2 image-level score (test_last.py:90-92)."""
+    """Per-sample abnormal-channel image score ((det_i @ anchors_i)[1]+1)/2.
+
+    Matches the reference's TRAIN-time classification logits
+    (train.py:153-155: per-sample det @ anchors, CE over [normal, abnormal]
+    with label 1 = abnormal). DELIBERATE deviation from its EVAL path
+    (survey Q11): test_last.py:90-92 computes ``det(B,768) @
+    anchors(B,768,2)`` which torch-broadcasts to (B, B, 2), then
+    ``pred[:, 1]`` selects batch-sample *index 1*'s logits for every row
+    (crashing when B == 1), and metrics_eval keeps channel 0 — the NORMAL
+    anchor (forward_utils.py:269-271). The executed eval score is thus one
+    fixed sample's normality per batch, constant across the batch; see
+    :func:`image_logit_reference_eval` for the exact transcription."""
     pred = jnp.einsum("bd,bdc->bc", det_token.astype(jnp.float32),
                       anchors.astype(jnp.float32))
     return (pred[:, 1] + 1.0) * 0.5
+
+
+def image_logit_reference_eval(det_token, anchors):
+    """Exact transcription of the reference's EXECUTED eval image score
+    (test_last.py:90-92 + forward_utils.py:269-271) for parity studies: the
+    whole batch scores as sample index 1's normal-anchor cosine. Requires
+    B >= 2 like the reference (B == 1 raises there). Not used by the eval
+    pipeline — see :func:`image_logit` for the shipped semantics."""
+    pred = jnp.einsum("d,bdc->bc", det_token.astype(jnp.float32)[1],
+                      anchors.astype(jnp.float32))
+    return (pred[:, 0] + 1.0) * 0.5

@@ -182,14 +182,23 @@ def _iqm_branch(trainable, cfg: ModelConfig, tokens, x_final, text_anchors):
     visual = jnp.concatenate(projected, axis=1)                 # (B, 4L, hidden)
     visual = linear(trainable["visual_feature_proj"], visual)
 
-    # (B, embed_dim, 2) -> (B, 2, embed_dim), as model/adapter.py:226-238.
+    # (B, embed_dim, 2) -> (B, 2, embed_dim): two text tokens (normal /
+    # abnormal anchors) of embed_dim features, through a TRAINED projection.
+    # DELIBERATE deviation from the executed reference (survey Q2/Q10): its
+    # dim-3 branch never transposes (model/adapter.py:229-235 keeps
+    # (B, 768, 2)), so its lazily-created text_feature_proj becomes an
+    # UNTRAINED nn.Linear(2, 768) (:242-243) and the IQM cross-attends over
+    # 768 "tokens" of randomly-projected 2-dim pairs — noise, like the rest
+    # of its eval-time IQM branch (Q1). We feed the anchors as the two
+    # semantic tokens the architecture describes.
     text = jnp.swapaxes(text_anchors, -1, -2)
     text = linear(trainable["text_feature_proj"], text.astype(visual.dtype))
 
     out = iqm_model.iqm_forward(trainable["iqm"], cfg.iqm, query_embeds,
                                 visual, text)
-    out = layer_norm(trainable["iqm_layer_norm"], out,
-                     eps=cfg.iqm.layer_norm_eps)
+    # Adapter-level regularization LN: torch-default eps 1e-5
+    # (model/adapter.py:94), NOT the BERT 1e-12 used inside IQM.
+    out = layer_norm(trainable["iqm_layer_norm"], out, eps=1e-5)
     return out
 
 

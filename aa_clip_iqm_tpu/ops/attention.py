@@ -105,7 +105,18 @@ def mha(params, x, num_heads: int, attn_mask=None, use_pallas: bool = False,
 
 def vv_attention(params, x, num_heads: int, use_pallas: bool = False,
                  valid_len=None):
-    """CLIP-Surgery value-value attention (q = k = v)."""
+    """CLIP-Surgery value-value attention (q = k = v) over the TOKEN axis.
+
+    This is the intended surgery semantics. The executed reference differs
+    (survey Q9): its custom ``Attention.forward`` unpacks ``B, N, C =
+    q_x.shape`` on a seq-first (L, N, C) tensor (model/transformer.py:126,
+    input permuted NLD->LND at :528), so its softmax runs over the BATCH
+    axis at each token position — images in a batch attend to each other,
+    and at batch 1 the branch degenerates to ``out_proj(v)``. That path only
+    feeds the frozen stage-1 feature extractor (train.py:75-85; eval builds
+    no surgery model, test_last.py:210-228), so eval parity is unaffected;
+    :func:`vv_attention_batch_axis` transcribes it exactly for
+    training-reproduction studies."""
     if use_pallas and _packed_pallas_ok(x, num_heads, None):
         from .pallas_attention import flash_mha_packed
 
@@ -123,6 +134,23 @@ def vv_attention(params, x, num_heads: int, use_pallas: bool = False,
         out = flash_mha(vh, vh, vh, scale)
     else:
         out = sdpa(vh, vh, vh, scale)
+    return linear(params["out"], _merge_heads(out))
+
+
+def vv_attention_batch_axis(params, x, num_heads: int):
+    """EXECUTED-reference surgery attention (survey Q9): per token position,
+    each batch sample's value vector attends over the other samples in the
+    batch (model/transformer.py:126-151 applied to an LND input). Provided
+    for exact stage-1 training reproduction only — batch-composition-
+    dependent by construction, so never used by the shipped pipeline."""
+    _, _, v = qkv_project(params, x)                    # (B, L, d)
+    hd = x.shape[-1] // num_heads
+    # Heads split the channel dim as usual; attention contracts the batch
+    # axis independently at every token index.
+    vh = _split_heads(v, num_heads)                     # (B, H, L, hd)
+    logits = jnp.einsum("bhld,chld->lhbc", vh, vh) * hd ** -0.5
+    attn = jax.nn.softmax(logits, axis=-1)              # (L, H, B, B)
+    out = jnp.einsum("lhbc,chld->bhld", attn, vh)
     return linear(params["out"], _merge_heads(out))
 
 

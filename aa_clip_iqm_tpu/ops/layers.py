@@ -46,9 +46,18 @@ def xavier_uniform(rng, d_in: int, d_out: int):
 
 
 def xavier_linear(rng, d_in: int, d_out: int, bias: bool = True):
-    p = {"w": xavier_uniform(rng, d_in, d_out)}
+    """Xavier weights + torch-default uniform biases. The reference's
+    _init_weights_ xavier-inits only p.dim() > 1 (model/adapter.py:107-123),
+    so every Linear bias keeps nn.Linear's reset_parameters draw
+    U(-1/sqrt(fan_in), 1/sqrt(fan_in)); match that distribution so
+    train-from-scratch starts from the same statistical point."""
+    import math
+
+    kw, kb = jax.random.split(rng)
+    p = {"w": xavier_uniform(kw, d_in, d_out)}
     if bias:
-        p["b"] = jnp.zeros((d_out,))
+        bound = 1.0 / math.sqrt(d_in)
+        p["b"] = jax.random.uniform(kb, (d_out,), jnp.float32, -bound, bound)
     return p
 
 

@@ -119,15 +119,6 @@ def pixel_metrics_device(maps, masks, valid, n_valid):
     return auc, ap, pmax
 
 
-def image_score_aggregate(pixel_preds, image_logits, domain: str):
-    """Reference image-score fusion (forward_utils.py:277-282):
-    Medical -> max of pixel map; else 0.5*max(pixel map) + 0.5*image logit."""
-    pmax = jnp.max(pixel_preds.reshape(pixel_preds.shape[0], -1), axis=1)
-    if domain == "Medical":
-        return pmax
-    return 0.5 * pmax + 0.5 * image_logits
-
-
 def minmax_normalize(x):
     """Reference min-max normalization (forward_utils.py:246-253), applied
     only when max(x) != 1."""

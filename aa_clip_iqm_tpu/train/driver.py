@@ -136,7 +136,11 @@ def run_stage2(frozen, trainable, model_cfg: ModelConfig,
                train_cfg: TrainConfig, image_dataset, anchors, logger,
                mesh=None, use_pallas: bool = False):
     dtype = _dtype(train_cfg.compute_dtype)
-    steps_per_epoch = max(1, len(image_dataset) // train_cfg.image_batch_size)
+    # ceil: batches() yields the partial tail batch (reference DataLoader
+    # default drop_last=False, train.py:394-396), so the schedule must count
+    # it too.
+    steps_per_epoch = max(1, -(-len(image_dataset)
+                               // train_cfg.image_batch_size))
     total_steps = steps_per_epoch * train_cfg.image_epoch
     tx = optim.stage2_optimizer(
         trainable, train_cfg.image_lr, total_steps,
@@ -158,7 +162,7 @@ def run_stage2(frozen, trainable, model_cfg: ModelConfig,
 
     step_fn = steps.make_stage2_step(
         model_cfg, train_cfg, tx, compute_dtype=dtype, use_pallas=use_pallas,
-        mesh=mesh)
+        mesh=mesh, clip_grad_norm=train_cfg.clip_grad_norm)
     # The step donates its trainable/opt-state inputs (their HBM is reused
     # for the outputs). Copy once up front so the *caller's* pytree stays
     # alive; from step 2 on, donation consumes only buffers this loop owns.

@@ -15,6 +15,9 @@ reproduce the reference curve exactly if desired.
 
 The stage-2 optimizer also covers the IQM projections the reference leaves
 untrained (survey Q1/Q2) and freezes the text adapter via a zero-update group.
+pos_embedding and iqm_layer_norm match the executed reference instead: they
+are absent from its optimizer groups, so they stay at init (sinusoidal table /
+identity LN) — see UNTRAINED_IQM_KEYS.
 """
 from __future__ import annotations
 
@@ -54,9 +57,19 @@ def stage1_optimizer(text_lr: float = 1e-5):
 
 
 IQM_FAMILY_KEYS = (
-    "iqm", "class_query_mlp", "query_adapters", "pos_embedding",
-    "visual_feature_proj", "text_feature_proj", "query_proj", "iqm_layer_norm",
+    # The reference's iqm_params group is exactly iqm + class_query_mlp +
+    # query_adapters (train.py:343-345). The three projections are its lazy,
+    # never-optimized nn.Linears — training them is the deliberate Q1/Q2 fix.
+    "iqm", "class_query_mlp", "query_adapters",
+    "visual_feature_proj", "text_feature_proj", "query_proj",
 )
+
+# Reference modules that exist but sit in NO optimizer group (train.py:
+# 342-350), so they stay at their init values for the whole run:
+# pos_embedding keeps its deterministic sinusoidal table and iqm_layer_norm
+# stays an identity-affine LayerNorm. We match the executed reference and
+# keep both frozen (they remain in the checkpoint pytree unchanged).
+UNTRAINED_IQM_KEYS = ("pos_embedding", "iqm_layer_norm")
 
 
 def stage2_param_labels(trainable):
@@ -67,8 +80,8 @@ def stage2_param_labels(trainable):
             label = "image"
         elif key in IQM_FAMILY_KEYS:
             label = "iqm"
-        else:  # text_adapter — frozen during stage 2 (train.py trains it in
-            label = "frozen"  # stage 1 only)
+        else:  # text_adapter (stage-1-only) + UNTRAINED_IQM_KEYS
+            label = "frozen"
         labels[key] = jax.tree.map(lambda _: label, sub)
     return labels
 

@@ -112,3 +112,37 @@ def test_l2_normalize(rng):
     x = rng.standard_normal((4, 8)).astype(np.float32)
     out = np.asarray(layers.l2_normalize(x))
     np.testing.assert_allclose(np.linalg.norm(out, axis=-1), 1.0, rtol=1e-5)
+
+
+def test_vv_batch_axis_matches_executed_reference(rng):
+    """vv_attention_batch_axis == the reference surgery attention as
+    EXECUTED (survey Q9: softmax over the batch axis per token position,
+    model/transformer.py:126-151 on the LND tensor from :528)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from torch_ref import torch_vv_batch_executed
+
+    d, h, b, l = 32, 4, 3, 7
+    params, (w_in, b_in, w_out, b_out) = _mha_params(rng, d)
+    x = rng.standard_normal((b, l, d)).astype(np.float32)
+    sd = {"blk.attn.in_proj_weight": w_in, "blk.attn.in_proj_bias": b_in,
+          "blk.attn.out_proj.weight": w_out, "blk.attn.out_proj.bias": b_out}
+    ref = torch_vv_batch_executed(torch.from_numpy(x), sd, "blk", h).numpy()
+    out = np.asarray(attn_ops.vv_attention_batch_axis(params, x, h))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+    # Executed semantics differ from the intended token-axis surgery the
+    # shipped pipeline uses (they only coincide in degenerate cases).
+    tok = np.asarray(attn_ops.vv_attention(params, x, h))
+    assert np.abs(tok - out).max() > 1e-3
+
+
+def test_vv_batch_axis_degenerates_at_batch_one(rng):
+    """At batch 1 the executed reference surgery is exactly out_proj(v):
+    softmax over a singleton batch axis is identity."""
+    d, h, l = 32, 4, 7
+    params, (w_in, b_in, w_out, b_out) = _mha_params(rng, d)
+    x = rng.standard_normal((1, l, d)).astype(np.float32)
+    v = x @ w_in.T[:, 2 * d:] + b_in[2 * d:]
+    ref = v @ w_out.T + b_out
+    out = np.asarray(attn_ops.vv_attention_batch_axis(params, x, h))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)

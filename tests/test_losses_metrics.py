@@ -101,3 +101,42 @@ def test_metrics_eval_dict(rng):
                                   use_device=False)
     for k in ("pixel AUC", "pixel AP", "image AUC", "image AP"):
         np.testing.assert_allclose(res[k], ref_sk[k], atol=1e-2)
+
+
+def test_image_logit_matches_reference_train_semantics(rng):
+    """image_logit == the reference TRAIN-time per-sample classification
+    logits, abnormal channel (train.py:153-155: det.unsqueeze(1) @ anchors
+    -> (B,1,2), [:,0]); the shipped eval score deliberately reuses these
+    sane semantics (survey Q11)."""
+    from aa_clip_iqm_tpu.evaluation import scoring
+
+    det = rng.standard_normal((4, 16)).astype(np.float32)
+    anchors = rng.standard_normal((4, 16, 2)).astype(np.float32)
+    ref = torch.matmul(torch.from_numpy(det).unsqueeze(1),
+                       torch.from_numpy(anchors))[:, 0]
+    ref = ((ref[:, 1] + 1) / 2).numpy()
+    out = np.asarray(scoring.image_logit(det, anchors))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_image_logit_reference_eval_transcription(rng):
+    """image_logit_reference_eval == the reference EVAL path as executed
+    (survey Q11): det(B,768) @ anchors(B,768,2) broadcasts to (B,B,2)
+    (test_last.py:90), pred[:,1] pins batch sample 1, (x+1)/2 (:91), and
+    metrics_eval keeps channel 0 — the NORMAL anchor
+    (forward_utils.py:269-271)."""
+    from aa_clip_iqm_tpu.evaluation import scoring
+
+    det = rng.standard_normal((4, 16)).astype(np.float32)
+    anchors = rng.standard_normal((4, 16, 2)).astype(np.float32)
+    pred = torch.from_numpy(det) @ torch.from_numpy(anchors)  # (B, B, 2)
+    assert pred.shape == (4, 4, 2)
+    ref = ((pred[:, 1] + 1) / 2)[:, 0].numpy()
+    out = np.asarray(scoring.image_logit_reference_eval(det, anchors))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+    # The executed eval score is constant across the batch only when the
+    # anchors are (as in the reference) identical per batch row.
+    anchors_same = np.broadcast_to(anchors[:1], anchors.shape).copy()
+    out_same = np.asarray(scoring.image_logit_reference_eval(det,
+                                                            anchors_same))
+    np.testing.assert_allclose(out_same, np.full(4, out_same[0]), rtol=1e-5)

@@ -113,3 +113,36 @@ def test_default_cosine_decays_over_total_steps():
     assert float(sched(total)) == pytest.approx(eta, rel=1e-2)
     vals = [float(sched(t)) for t in range(total + 1)]
     assert all(a >= b - 1e-12 for a, b in zip(vals, vals[1:]))  # monotone
+
+
+def test_stage2_param_labels_match_reference_groups():
+    """The reference's optimizer groups (train.py:342-350) train exactly
+    image_adapter, and iqm + class_query_mlp + query_adapters at lr x0.1.
+    pos_embedding and iqm_layer_norm exist but sit in NO group, so they stay
+    at init (sinusoidal table / identity LN) — we label them 'frozen'. The
+    three lazy projections are the deliberate Q1/Q2 fix: trained ('iqm')."""
+    trainable = {k: {"w": jnp.zeros((2, 2))} for k in (
+        "image_adapter", "text_adapter", "iqm", "class_query_mlp",
+        "query_adapters", "visual_feature_proj", "text_feature_proj",
+        "query_proj", "pos_embedding", "iqm_layer_norm")}
+    labels = optim.stage2_param_labels(trainable)
+    got = {k: labels[k]["w"] for k in trainable}
+    assert got["image_adapter"] == "image"
+    for k in ("iqm", "class_query_mlp", "query_adapters",
+              "visual_feature_proj", "text_feature_proj", "query_proj"):
+        assert got[k] == "iqm", k
+    for k in ("text_adapter", "pos_embedding", "iqm_layer_norm"):
+        assert got[k] == "frozen", k
+
+    # Frozen-at-init is real: a stage-2 update leaves them byte-identical.
+    tx = optim.stage2_optimizer(trainable, 5e-4, 4)
+    state = tx.init(trainable)
+    grads = jax.tree.map(jnp.ones_like, trainable)
+    import optax as _optax
+
+    updates, _ = tx.update(grads, state, trainable)
+    new = _optax.apply_updates(trainable, updates)
+    for k in ("pos_embedding", "iqm_layer_norm", "text_adapter"):
+        np.testing.assert_array_equal(np.asarray(new[k]["w"]),
+                                      np.asarray(trainable[k]["w"]))
+    assert np.abs(np.asarray(new["iqm"]["w"])).max() > 0

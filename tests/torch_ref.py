@@ -257,13 +257,20 @@ def _mha(x, sd, prefix, heads, attn_mask=None, vv=False):
     ResidualAttentionBlock (model/transformer.py:200,225-236) — in_proj rows
     are [q; k; v] (the `chunk(3, dim=-1)` after the x @ W.T), scaled
     dot-product per head, shared out_proj.
-    vv=True: the CLIP-Surgery `Attention.forward` (model/transformer.py:
-    125-152): after the same fused qkv projection, `k = v; q = k`
-    (:139-141) so all three operands are the value projection; same scale,
-    softmax, and out_proj (:144-151). The parallel 'x_ori' (original
-    attention) path computed at :135-148 is dead — Attention.forward returns
-    only [x, attn] (:152), so the vv output fully replaces the block's
-    attention branch."""
+    vv=True: CLIP-Surgery value-value attention over the TOKEN axis: after
+    the fused qkv projection, `k = v; q = k` (model/transformer.py:139-141)
+    so all three operands are the value projection; same scale, softmax, and
+    out_proj (:144-151). The parallel 'x_ori' (original attention) path
+    computed at :135-148 is dead — Attention.forward returns only [x, attn]
+    (:152), so the vv output fully replaces the block's attention branch.
+    NOTE (survey Q9): this is the *intended* semantics, which the repo
+    implements. The reference as EXECUTED differs — Attention.forward
+    unpacks `B, N, C = q_x.shape` (:126) on the seq-first (L, N, C) tensor
+    the tower feeds it (:528 permutes NLD->LND), so its softmax actually
+    runs over the BATCH axis at each token position. See
+    torch_vv_batch_executed below for that transcription; it only feeds the
+    frozen stage-1 extractor (train.py:75-85), never eval
+    (test_last.py:210-228 builds no surgery model)."""
     b, l, d = x.shape
     w_in = torch.from_numpy(sd[prefix + ".attn.in_proj_weight"])
     b_in = torch.from_numpy(sd[prefix + ".attn.in_proj_bias"])
@@ -285,6 +292,32 @@ def _mha(x, sd, prefix, heads, attn_mask=None, vv=False):
     attn = torch.softmax(logits, dim=-1)
     out = (attn @ vh).permute(0, 2, 1, 3).reshape(b, l, d)
     return out @ w_out.T + b_out
+
+
+def torch_vv_batch_executed(x, sd, prefix, heads):
+    """The reference surgery attention as EXECUTED (survey Q9): literal
+    transcription of Attention.forward (model/transformer.py:123-151) fed
+    the (L, N, C) seq-first tensor the tower actually passes it (:528).
+    `B, N, C = q_x.shape` binds B=tokens, N=batch, so the (B, heads, N, N)
+    softmax mixes the batch at every token position; at batch 1 the output
+    is exactly out_proj(v). x here is (batch, tokens, d) NLD; the LND
+    permutes happen inside, as in the reference tower."""
+    w_in = torch.from_numpy(sd[prefix + ".attn.in_proj_weight"])
+    b_in = torch.from_numpy(sd[prefix + ".attn.in_proj_bias"])
+    w_out = torch.from_numpy(sd[prefix + ".attn.out_proj.weight"])
+    b_out = torch.from_numpy(sd[prefix + ".attn.out_proj.bias"])
+    q_x = x.permute(1, 0, 2)                       # NLD -> LND (:528)
+    B, N, C = q_x.shape                            # B=tokens(!), N=batch
+    qkv = (q_x @ w_in.T + b_in).reshape(B, N, 3, heads, C // heads) \
+        .permute(2, 0, 3, 1, 4)                    # (3, L, heads, batch, hd)
+    v = qkv[2]
+    k = v
+    q = k                                          # :139-141
+    attn = (q @ k.transpose(-2, -1)) * (C // heads) ** -0.5
+    attn = attn.softmax(dim=-1)                    # softmax over BATCH
+    out = (attn @ v).transpose(1, 2).reshape(B, N, C)
+    out = out @ w_out.T + b_out
+    return out.permute(1, 0, 2)                    # LND -> NLD
 
 
 def _block(x, sd, prefix, heads, attn_mask=None, vv=False, act=F.gelu):
