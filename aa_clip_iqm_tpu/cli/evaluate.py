@@ -53,6 +53,14 @@ def build_parser():
     parser.add_argument("--iqm_num_heads", type=int, default=8)
     parser.add_argument("--iqm_weight", type=float, default=0.4)
     parser.add_argument("--text_weight", type=float, default=0.6)
+    parser.add_argument("--image_score_mode", type=str, default="fixed",
+                        choices=["fixed", "reference_eval"],
+                        help="image-level score semantics: 'fixed' = "
+                        "per-sample abnormal logit (the reference's own "
+                        "train semantics); 'reference_eval' = exact "
+                        "transcription of its executed eval path (survey "
+                        "Q11, batch-composition dependent) for parity "
+                        "studies")
     parser.add_argument("--compute_dtype", type=str, default="bfloat16",
                         choices=["bfloat16", "float32"])
     parser.add_argument("--data_parallel", action="store_true")
@@ -145,6 +153,7 @@ def main():
         save_path=args.save_path, visualize=args.visualize,
         iqm_weight=args.iqm_weight, text_weight=args.text_weight,
         compute_dtype=args.compute_dtype,
+        image_score_mode=args.image_score_mode,
     )
     from aa_clip_iqm_tpu.utils.profiling import trace
 

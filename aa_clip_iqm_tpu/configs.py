@@ -208,6 +208,12 @@ class EvalConfig:
     iqm_weight: float = 0.4  # fusion weights (test_last.py:66-68)
     text_weight: float = 0.6
     compute_dtype: str = "bfloat16"
+    # Image-level score semantics. "fixed" (default) = per-sample
+    # abnormal-channel logit — the reference's own TRAIN semantics
+    # (train.py:153-155). "reference_eval" = exact transcription of its
+    # executed eval path (survey Q11: (B,B,2) broadcast pinned to sample 1's
+    # NORMAL channel; needs batch >= 2), for parity studies only.
+    image_score_mode: str = "fixed"
 
 
 # --------------------------------------------------------------------------

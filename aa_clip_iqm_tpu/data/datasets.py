@@ -82,16 +82,31 @@ def normalize_clip(img01: np.ndarray) -> np.ndarray:
     return (img01 - _MEAN) / _STD
 
 
-def _u8_quantize(img01: np.ndarray) -> np.ndarray:
-    """Round [0,1] floats onto the uint8 grid (PIL enhance ops return uint8
-    images, so every jitter stage requantizes in the reference)."""
-    return np.round(np.clip(img01, 0.0, 1.0) * 255.0) / np.float32(255.0)
+def _pil_gray(img_u8: np.ndarray) -> np.ndarray:
+    """PIL Image.convert('L') exact: rounded 16.16 fixed-point ITU-R 601-2
+    luma — (19595 R + 38470 G + 7471 B + 0x8000) >> 16 (Pillow convert.c
+    L24/L). img_u8: (H, W, 3) uint8 -> (H, W) uint8."""
+    r = img_u8[..., 0].astype(np.uint32)
+    g = img_u8[..., 1].astype(np.uint32)
+    b = img_u8[..., 2].astype(np.uint32)
+    return ((19595 * r + 38470 * g + 7471 * b + 0x8000) >> 16).astype(np.uint8)
 
 
-def _color_jitter(rng: np.random.Generator, img01: np.ndarray,
+def _pil_blend(degenerate: np.ndarray, img_u8: np.ndarray, f) -> np.ndarray:
+    """PIL Image.blend exact (Pillow Blend.c): in1 + alpha*(in2-in1) in
+    float32, clamped to [0, 255], C-cast truncation back to uint8."""
+    d = degenerate.astype(np.float32)
+    out = d + np.float32(f) * (img_u8.astype(np.float32) - d)
+    return np.clip(out, 0.0, 255.0).astype(np.uint8)
+
+
+def _color_jitter(rng: np.random.Generator, img_u8: np.ndarray,
                   factors=None) -> np.ndarray:
     """Brightness/contrast/saturation jitter (strength 0.5, each applied
-    with p=0.7), torchvision PIL-backend formulas, on [0,1] CHW.
+    with p=0.7) on (H, W, 3) uint8, byte-identical to the PIL ImageEnhance
+    chain the reference's torchvision ColorJitter executes:
+    Brightness = blend from black; Contrast = blend from the rounded
+    ImageStat mean of the L image; Color = blend from the L image.
 
     Runs at the ORIGINAL image resolution, before the bicubic resize — the
     reference's transform_x composes [ColorJitter ×3, Resize, ToTensor,
@@ -99,38 +114,31 @@ def _color_jitter(rng: np.random.Generator, img01: np.ndarray,
     grayscale statistics come from the full-resolution image and the
     jittered uint8 result is what gets resampled. ``factors`` overrides the
     three draw factors for the parity test."""
-    img = img01
+    img = img_u8
     fb, fc, fs = factors if factors is not None else (None, None, None)
     if factors is not None or rng.random() < 0.7:
         f = fb if fb is not None else rng.uniform(0.5, 1.5)
-        img = _u8_quantize(img * f)               # ImageEnhance.Brightness
+        img = _pil_blend(np.zeros_like(img), img, f)
     if factors is not None or rng.random() < 0.7:
         f = fc if fc is not None else rng.uniform(0.5, 1.5)
-        # ImageEnhance.Contrast: blend with the ROUNDED mean of the L image
-        # (torchvision F_pil.adjust_contrast rounds ImageStat's mean).
-        l = _u8_quantize(0.299 * img[0] + 0.587 * img[1] + 0.114 * img[2])
-        gray = np.round(l.mean() * 255.0) / np.float32(255.0)
-        img = _u8_quantize(f * img + (1 - f) * gray)
+        # ImageEnhance.Contrast: int(ImageStat.Stat(L).mean + 0.5).
+        mean = int(float(_pil_gray(img).mean()) + 0.5)
+        img = _pil_blend(np.full_like(img, mean), img, f)
     if factors is not None or rng.random() < 0.7:
         f = fs if fs is not None else rng.uniform(0.5, 1.5)
-        # ImageEnhance.Color: blend with the L image.
-        gray = _u8_quantize(0.299 * img[0] + 0.587 * img[1]
-                            + 0.114 * img[2])[None]
-        img = _u8_quantize(f * img + (1 - f) * gray)
-    return img.astype(np.float32)
+        img = _pil_blend(_pil_gray(img)[..., None], img, f)
+    return img
 
 
-def _resize_bicubic01(img01: np.ndarray, img_size: int) -> np.ndarray:
-    """[0,1] CHW (uint8-quantized values) -> bicubic resize to img_size.
-    Lossless uint8 round-trip feeds the same native/PIL kernels as
-    _load_image."""
-    u8 = np.round(img01 * 255.0).astype(np.uint8).transpose(1, 2, 0)
-    if u8.shape[:2] == (img_size, img_size):
-        return img01.astype(np.float32)
+def _resize_bicubic_u8(u8_hwc: np.ndarray, img_size: int) -> np.ndarray:
+    """(H, W, 3) uint8 -> [0,1] CHW float32 through the same bicubic kernels
+    as _load_image (native fast path or PIL)."""
+    if u8_hwc.shape[:2] == (img_size, img_size):
+        return u8_hwc.astype(np.float32).transpose(2, 0, 1) / 255.0
     if _use_native():
-        return native_pipeline.resize_bicubic_rgb(u8, img_size)
-    arr = np.asarray(Image.fromarray(u8).resize((img_size, img_size),
-                                                Image.BICUBIC),
+        return native_pipeline.resize_bicubic_rgb(u8_hwc, img_size)
+    arr = np.asarray(Image.fromarray(u8_hwc).resize((img_size, img_size),
+                                                    Image.BICUBIC),
                      np.float32) / 255.0
     return arr.transpose(2, 0, 1)
 
@@ -204,10 +212,9 @@ class TrainDataset:
         else:
             # Jitter BEFORE the resize, at original resolution (reference
             # transform_x order — see _color_jitter).
-            raw = Image.open(path).convert("RGB")
-            raw01 = np.asarray(raw, np.float32).transpose(2, 0, 1) / 255.0
-            img01 = _resize_bicubic01(_color_jitter(self.rng, raw01),
-                                      self.img_size)
+            raw = np.asarray(Image.open(path).convert("RGB"), np.uint8)
+            img01 = _resize_bicubic_u8(_color_jitter(self.rng, raw),
+                                       self.img_size)
         img = normalize_clip(img01)
         if meta["label"]:
             mask = _load_mask(os.path.join(self.data_path, meta["mask_path"]),

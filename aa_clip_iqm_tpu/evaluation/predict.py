@@ -24,14 +24,23 @@ from . import scoring
 def make_predict_fn(cfg: ModelConfig, img_size: int, domain: str,
                     use_iqm: bool = True, compute_dtype=jnp.float32,
                     use_pallas: bool = False, text_weight: float = 0.6,
-                    iqm_weight: float = 0.4, mesh=None):
+                    iqm_weight: float = 0.4, mesh=None,
+                    image_score_mode: str = "fixed"):
     """Build predict(frozen, trainable, images, anchors) ->
     (final_map (B,H,W) fp32, image_logit (B,)).
 
     anchors: (B, embed_dim, 2). When `mesh` is given the batch axis is
     annotated to shard over its 'data' axis and params are replicated, so the
     same program runs single-chip or data-parallel over ICI.
+    image_score_mode: "fixed" (per-sample abnormal logit, default) or
+    "reference_eval" (the executed reference's eval transcription — survey
+    Q11; for parity studies, requires batch >= 2 and is batch-composition
+    dependent like the reference).
     """
+    if image_score_mode not in ("fixed", "reference_eval"):
+        raise ValueError(f"unknown image_score_mode {image_score_mode!r}")
+    logit_fn = (scoring.image_logit if image_score_mode == "fixed"
+                else scoring.image_logit_reference_eval)
 
     def predict(frozen, trainable, images, anchors):
         out = adapters_mod.encode_image_adapted(
@@ -39,7 +48,7 @@ def make_predict_fn(cfg: ModelConfig, img_size: int, domain: str,
             text_anchors=anchors if use_iqm else None,
             compute_dtype=compute_dtype, use_pallas=use_pallas,
         )
-        img_logit = scoring.image_logit(out.det_token, anchors)
+        img_logit = logit_fn(out.det_token, anchors)
         text_maps = [
             scoring.similarity_map_test(s, anchors, img_size, domain)
             for s in out.seg_tokens
@@ -163,7 +172,7 @@ def evaluate_dataset(frozen, trainable, model_cfg: ModelConfig,
         model_cfg, eval_cfg.img_size, domain, use_iqm=use_iqm,
         compute_dtype=compute_dtype, use_pallas=use_pallas,
         text_weight=eval_cfg.text_weight, iqm_weight=eval_cfg.iqm_weight,
-        mesh=mesh,
+        mesh=mesh, image_score_mode=eval_cfg.image_score_mode,
     )
     # Device-resident metrics skip the per-batch map fetch; visualization
     # needs the maps on host, so it uses the host path.

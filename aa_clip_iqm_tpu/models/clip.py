@@ -238,6 +238,15 @@ def _run_block(block, x, num_heads, act, attn_mask=None, vv=False,
         fn = (pallas_mlp.ln_mlp_residual_frozen if fused_mlp == "frozen"
               else pallas_mlp.ln_mlp_residual)
         x = fn(block["ln_2"], block["mlp"], x, act)
+    elif (use_pallas and fused_mlp
+          and pallas_mlp.ln_mlp_residual_int8_ok(x, block["mlp"], act)):
+        # int8 tier (ops/quant.py scope="all"): the fused kernel keeps the
+        # int8 weights VMEM-resident and runs the contractions at the MXU's
+        # double int8 rate, stacking the quantization and fusion wins that
+        # were mutually exclusive before (the XLA int8_linear fallback below
+        # round-trips the hidden tensor through HBM).
+        x = pallas_mlp.ln_mlp_residual_int8(block["ln_2"], block["mlp"], x,
+                                            act)
     else:
         x = x + mlp_block(block["mlp"], layer_norm(block["ln_2"], x), act)
     return x

@@ -34,6 +34,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -98,7 +99,8 @@ def ln_mlp_residual_ok(x, mlp_params, act) -> bool:
     Conditions: TPU backend (or interpreter tests), a known activation,
     bf16 compute (the measured perf path; fp32 doubles VMEM for no reason
     to exist — XLA handles it), float weights (the int8 tier has its own
-    matmul path), tileable shapes, and both weights resident in VMEM.
+    fused kernel, :func:`ln_mlp_residual_int8`), tileable shapes, and both
+    weights resident in VMEM.
     """
     if not INTERPRET and jax.default_backend() != "tpu":
         return False
@@ -114,6 +116,27 @@ def ln_mlp_residual_ok(x, mlp_params, act) -> bool:
     if d % 128 or not _chunk(h):
         return False
     return 2 * d * h * x.dtype.itemsize <= _MAX_W_BYTES
+
+
+def ln_mlp_residual_int8_ok(x, mlp_params, act) -> bool:
+    """:func:`ln_mlp_residual_ok` for the int8-quantized MLP: both matmul
+    params must be `ops.quant.quantize_linear_params` dicts (w_q/scale/b).
+    Weight residency is trivially easier (int8 halves the bytes)."""
+    if not INTERPRET and jax.default_backend() != "tpu":
+        return False
+    if act not in _act_table():
+        return False
+    if x.dtype != jnp.bfloat16:
+        return False
+    c_fc, c_proj = mlp_params["c_fc"], mlp_params["c_proj"]
+    for p in (c_fc, c_proj):
+        if "w_q" not in p or "scale" not in p or "b" not in p:
+            return False
+    d = x.shape[-1]
+    h = c_fc["w_q"].shape[-1]
+    if d % 128 or not _chunk(h):
+        return False
+    return 2 * d * h <= _MAX_W_BYTES
 
 
 def _kernel(x_ref, lns_ref, lnb_ref, wfc_ref, bfc_ref, wp_ref, bp_ref, o_ref,
@@ -133,6 +156,45 @@ def _kernel(x_ref, lns_ref, lnb_ref, wfc_ref, bfc_ref, wp_ref, bp_ref, o_ref,
                             wp_ref[j * ch:(j + 1) * ch, :],
                             preferred_element_type=jnp.float32)
     o_ref[:] = (x32 + acc + bp_ref[0, :]).astype(o_ref.dtype)
+
+
+def _int8_kernel(x_ref, lns_ref, lnb_ref, wfc_ref, sfc_ref, bfc_ref,
+                 wp_ref, sp_ref, bp_ref, o_ref, *, act, h: int, ch: int,
+                 eps: float):
+    """int8-weights variant of :func:`_kernel`.
+
+    Both weight matrices sit in VMEM as int8 (half the HBM traffic and VMEM
+    footprint of bf16) and every contraction is int8 x int8 -> int32 on the
+    MXU's double-rate int8 path. Activations are quantized dynamically
+    per ROW for the first matmul and per (row, hidden-chunk) for the second
+    — finer granularity than the unfused `ops.quant.int8_linear` epilogue
+    (whose per-token scale spans the full hidden axis). The per-channel
+    weight scales fold into the fp32 epilogues: the c_fc dequant rides the
+    bias add before the activation, and the per-output-channel c_proj scale
+    multiplies the accumulated sum once at the end.
+    """
+    x32 = x_ref[:].astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+    xn = (x32 - mu) * jax.lax.rsqrt(var + eps)
+    xin = xn * lns_ref[0] + lnb_ref[0]
+    sx = jnp.maximum(jnp.max(jnp.abs(xin), axis=-1, keepdims=True),
+                     1e-6) * (1.0 / 127.0)
+    x_q = jnp.clip(jnp.round(xin / sx), -127, 127).astype(jnp.int8)
+
+    acc = jnp.zeros((x_ref.shape[0], o_ref.shape[-1]), jnp.float32)
+    for j in range(h // ch):
+        hid = jnp.dot(x_q, wfc_ref[:, j * ch:(j + 1) * ch],
+                      preferred_element_type=jnp.int32).astype(jnp.float32)
+        hid = act(hid * (sx * sfc_ref[0, j * ch:(j + 1) * ch])
+                  + bfc_ref[0, j * ch:(j + 1) * ch])
+        sh = jnp.maximum(jnp.max(jnp.abs(hid), axis=-1, keepdims=True),
+                         1e-6) * (1.0 / 127.0)
+        h_q = jnp.clip(jnp.round(hid / sh), -127, 127).astype(jnp.int8)
+        acc = acc + jnp.dot(
+            h_q, wp_ref[j * ch:(j + 1) * ch, :],
+            preferred_element_type=jnp.int32).astype(jnp.float32) * sh
+    o_ref[:] = (x32 + acc * sp_ref[0] + bp_ref[0]).astype(o_ref.dtype)
 
 
 def _bwd_dx_kernel(x_ref, g_ref, lns_ref, lnb_ref, wfc_ref, bfc_ref, wp_ref,
@@ -256,6 +318,70 @@ def _bwd(act, eps, res, g):
 
 
 ln_mlp_residual.defvjp(_fwd, _bwd)
+
+
+def _int8_operands(ln_params, mlp_params, x):
+    d = x.shape[-1]
+    c_fc, c_proj = mlp_params["c_fc"], mlp_params["c_proj"]
+    h = c_fc["w_q"].shape[-1]
+    ops = [
+        ln_params["scale"].astype(jnp.float32).reshape(1, d),
+        ln_params["bias"].astype(jnp.float32).reshape(1, d),
+        c_fc["w_q"],
+        c_fc["scale"].astype(jnp.float32).reshape(1, h),
+        c_fc["b"].astype(jnp.float32).reshape(1, h),
+        c_proj["w_q"],
+        c_proj["scale"].astype(jnp.float32).reshape(1, d),
+        c_proj["b"].astype(jnp.float32).reshape(1, d),
+    ]
+    return ops, h
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def ln_mlp_residual_int8(ln_params, mlp_params, x, act, eps: float = 1e-5):
+    """:func:`ln_mlp_residual` with int8 MLP weights (quantize_linear_params
+    layout): int8 x int8 -> int32 MXU dots at the double int8 rate, weights
+    VMEM-resident at half the bf16 bytes. Guard call sites with
+    :func:`ln_mlp_residual_int8_ok`.
+
+    Backward is the straight-through estimator on the DEQUANTIZED XLA chain
+    (both quantizers treated as identity — the same STE semantics as
+    `ops.quant.int8_linear`): dx/dln/db are real, w_q gets float0 and scale
+    zeros. Training-through-quantized paths therefore keep non-zero adapter
+    gradients; exact-gradient training uses the float kernels instead.
+    """
+    ops, h = _int8_operands(ln_params, mlp_params, x)
+    kern = functools.partial(_int8_kernel, act=_act_table()[act][0], h=h,
+                             ch=_chunk(h), eps=eps)
+    return _dispatch(kern, _flat(x), (), ops).reshape(x.shape)
+
+
+def _int8_fwd(ln_params, mlp_params, x, act, eps):
+    return ln_mlp_residual_int8(ln_params, mlp_params, x, act, eps), \
+        (ln_params, mlp_params, x)
+
+
+def _int8_bwd(act, eps, res, g):
+    ln_params, mlp_params, x = res
+    c_fc, c_proj = mlp_params["c_fc"], mlp_params["c_proj"]
+    fp = {"c_fc": {"w": (c_fc["w_q"].astype(jnp.float32)
+                         * c_fc["scale"]).astype(x.dtype),
+                   "b": c_fc["b"]},
+          "c_proj": {"w": (c_proj["w_q"].astype(jnp.float32)
+                           * c_proj["scale"]).astype(x.dtype),
+                     "b": c_proj["b"]}}
+    _, vjp = jax.vjp(
+        lambda lp, mp, xx: _xla_chain(lp, mp, xx, act, eps), ln_params, fp, x)
+    dln, dfp, dx = vjp(g)
+    dmlp = {
+        k: {"w_q": np.zeros(mlp_params[k]["w_q"].shape, jax.dtypes.float0),
+            "scale": jnp.zeros_like(mlp_params[k]["scale"]),
+            "b": dfp[k]["b"]}
+        for k in ("c_fc", "c_proj")}
+    return dln, dmlp, dx
+
+
+ln_mlp_residual_int8.defvjp(_int8_fwd, _int8_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))

@@ -1,0 +1,57 @@
+"""Train-time augmentation parity vs the reference's executed PIL backend.
+
+The reference's ColorJitter stack (dataset/__init__.py:48-67) runs through
+torchvision's PIL backend, i.e. PIL ImageEnhance exactly:
+Brightness = Image.blend(black, img, f); Contrast = blend from the rounded
+ImageStat mean of img.convert('L'); Color = blend from img.convert('L').
+datasets._color_jitter transcribes those fixed-point/truncation semantics in
+numpy — these tests pin it byte-identical against real PIL.
+"""
+import numpy as np
+import pytest
+from PIL import Image, ImageEnhance
+
+from aa_clip_iqm_tpu.data import datasets
+
+
+FACTOR_SETS = [
+    (0.5, 1.5, 1.0),
+    (1.37, 0.63, 1.12),
+    (1.0, 1.0, 1.0),
+    (1.5, 0.5, 0.5),
+    (0.72, 1.08, 1.49),
+]
+
+
+def _pil_jitter(u8_hwc, fb, fc, fs):
+    pil = Image.fromarray(u8_hwc)
+    pil = ImageEnhance.Brightness(pil).enhance(fb)
+    pil = ImageEnhance.Contrast(pil).enhance(fc)
+    pil = ImageEnhance.Color(pil).enhance(fs)
+    return np.asarray(pil, np.uint8)
+
+
+@pytest.mark.parametrize("factors", FACTOR_SETS)
+def test_color_jitter_byte_identical_to_pil(rng, factors):
+    u8 = rng.integers(0, 256, (21, 17, 3), dtype=np.uint8)
+    ref = _pil_jitter(u8, *factors)
+    out = datasets._color_jitter(np.random.default_rng(0), u8,
+                                 factors=factors)
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_pil_gray_matches_convert_l(rng):
+    """_pil_gray == Image.convert('L'): truncated 16.16 fixed-point luma."""
+    u8 = rng.integers(0, 256, (13, 9, 3), dtype=np.uint8)
+    ref = np.asarray(Image.fromarray(u8).convert("L"), np.uint8)
+    np.testing.assert_array_equal(datasets._pil_gray(u8), ref)
+
+
+def test_color_jitter_random_draw_order(rng):
+    """Each stage draws (p-gate, factor) independently in brightness ->
+    contrast -> saturation order; a seeded rng reproduces the composition."""
+    u8 = rng.integers(0, 256, (11, 11, 3), dtype=np.uint8)
+    out1 = datasets._color_jitter(np.random.default_rng(7), u8)
+    out2 = datasets._color_jitter(np.random.default_rng(7), u8)
+    np.testing.assert_array_equal(out1, out2)
+    assert out1.dtype == np.uint8 and out1.shape == u8.shape

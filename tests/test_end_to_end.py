@@ -176,3 +176,41 @@ def test_zero_shot_predict_without_training(synth, model):
     rows = evaluate_dataset(frozen, trainable, cfg, eval_cfg, datasets,
                             anchors)
     assert len(rows) == 2  # one class + Average
+
+
+def test_image_score_mode_dispatch(model):
+    """make_predict_fn's image_score_mode switches between the shipped
+    per-sample score and the executed-reference transcription (survey Q11);
+    both return batch-shaped fp32 logits, and unknown modes fail loudly."""
+    from aa_clip_iqm_tpu.evaluation import scoring
+    from aa_clip_iqm_tpu.evaluation.predict import make_predict_fn
+
+    cfg, frozen, trainable = model
+    rng = np.random.default_rng(5)
+    images = jnp.asarray(rng.standard_normal((3, 3, IMG, IMG)),
+                         dtype=jnp.float32)
+    anchors = jnp.asarray(rng.standard_normal((3, cfg.clip.embed_dim, 2)),
+                          dtype=jnp.float32)
+
+    out = {}
+    for mode in ("fixed", "reference_eval"):
+        fn = make_predict_fn(cfg, IMG, "Industrial", image_score_mode=mode)
+        _, logit = fn(frozen, trainable, images, anchors)
+        out[mode] = np.asarray(logit)
+        assert out[mode].shape == (3,)
+
+    # The two semantics differ on generic inputs, and each matches its
+    # scoring function applied to the model's det token.
+    det = adapters_mod.encode_image_adapted(
+        frozen, trainable, cfg, images, text_anchors=anchors).det_token
+    np.testing.assert_allclose(
+        out["fixed"], np.asarray(scoring.image_logit(det, anchors)),
+        rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        out["reference_eval"],
+        np.asarray(scoring.image_logit_reference_eval(det, anchors)),
+        rtol=1e-4, atol=1e-5)
+    assert np.abs(out["fixed"] - out["reference_eval"]).max() > 1e-6
+
+    with pytest.raises(ValueError):
+        make_predict_fn(cfg, IMG, "Industrial", image_score_mode="bogus")

@@ -133,6 +133,147 @@ def test_frozen_forward_equals_general(rng):
     np.testing.assert_array_equal(a, b)
 
 
+def _quantize_mlp(mlp):
+    from aa_clip_iqm_tpu.ops.quant import quantize_linear_params
+
+    return {"c_fc": quantize_linear_params(mlp["c_fc"]),
+            "c_proj": quantize_linear_params(mlp["c_proj"])}
+
+
+def _int8_transcription(ln, qmlp, x, act, ch):
+    """The kernel's exact quantization math as plain XLA ops (per-row input
+    scale, per-(row, chunk) hidden scale), for tight parity in interpret
+    mode."""
+    x32 = x.astype(jnp.float32)
+    xn = layer_norm(ln, x32)
+    sx = jnp.maximum(jnp.max(jnp.abs(xn), -1, keepdims=True), 1e-6) / 127.0
+    x_q = jnp.clip(jnp.round(xn / sx), -127, 127).astype(jnp.int8)
+    c_fc, c_proj = qmlp["c_fc"], qmlp["c_proj"]
+    h = c_fc["w_q"].shape[-1]
+    acc = jnp.zeros((x32.shape[0], x32.shape[-1]), jnp.float32)
+    for j in range(0, h, ch):
+        hid = jax.lax.dot_general(
+            x_q, c_fc["w_q"][:, j:j + ch],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32).astype(jnp.float32)
+        hid = act(hid * (sx * c_fc["scale"][0, j:j + ch])
+                  + c_fc["b"][j:j + ch])
+        sh = jnp.maximum(jnp.max(jnp.abs(hid), -1, keepdims=True),
+                         1e-6) / 127.0
+        h_q = jnp.clip(jnp.round(hid / sh), -127, 127).astype(jnp.int8)
+        acc = acc + jax.lax.dot_general(
+            h_q, c_proj["w_q"][j:j + ch],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32).astype(jnp.float32) * sh
+    out = x32 + acc * c_proj["scale"][0] + c_proj["b"]
+    return out.astype(x.dtype)
+
+
+@pytest.mark.parametrize("m,d,h,act,ch", [
+    (640, 256, 1024, gelu, 1024),
+    (130, 128, 512, gelu, 512),
+    (512, 128, 384, quick_gelu, 128),
+])
+def test_int8_kernel_matches_transcription(rng, m, d, h, act, ch):
+    """Interpret-mode kernel == the same quantization math in plain XLA, and
+    both land within quant error of the fp chain."""
+    ln, mlp = _params(rng, d, h)
+    qmlp = _quantize_mlp(mlp)
+    x = jnp.asarray(rng.standard_normal((m, d)), jnp.bfloat16)
+    assert pm.ln_mlp_residual_int8_ok(x, qmlp, act)
+    out = np.asarray(pm.ln_mlp_residual_int8(ln, qmlp, x, act), np.float32)
+    ref = np.asarray(_int8_transcription(ln, qmlp, x.astype(jnp.float32),
+                                         act, ch), np.float32)
+    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
+    fp = np.asarray(_xla(ln, mlp, x, act), np.float32)
+    err = np.abs(out - fp).max() / (np.abs(fp).max() + 1e-9)
+    assert err < 0.08, f"int8 kernel diverges from fp chain: {err}"
+
+
+def test_int8_gate_conditions(rng):
+    ln, mlp = _params(rng, 128, 512)
+    qmlp = _quantize_mlp(mlp)
+    x16 = jnp.zeros((8, 128), jnp.bfloat16)
+    assert pm.ln_mlp_residual_int8_ok(x16, qmlp, gelu)
+    # float weights, fp32 compute, unknown act, odd width -> not eligible.
+    assert not pm.ln_mlp_residual_int8_ok(x16, mlp, gelu)
+    assert not pm.ln_mlp_residual_int8_ok(
+        jnp.zeros((8, 128), jnp.float32), qmlp, gelu)
+    assert not pm.ln_mlp_residual_int8_ok(x16, qmlp, jnp.tanh)
+    # the fp gate keeps rejecting quantized params
+    assert not pm.ln_mlp_residual_ok(x16, qmlp, gelu)
+
+
+def test_int8_ste_backward(rng):
+    """STE backward == grads of the dequantized XLA chain; w_q cotangent is
+    float0, scale cotangent zeros, dx/dln/db real."""
+    ln, mlp = _params(rng, 128, 256)
+    qmlp = _quantize_mlp(mlp)
+    x = jnp.asarray(rng.standard_normal((64, 128)), jnp.bfloat16)
+    g = jnp.asarray(rng.standard_normal((64, 128)), jnp.bfloat16)
+
+    deq = {k: {"w": (qmlp[k]["w_q"].astype(jnp.float32)
+                     * qmlp[k]["scale"]).astype(jnp.bfloat16),
+               "b": qmlp[k]["b"]} for k in ("c_fc", "c_proj")}
+    _, vjp_ref = jax.vjp(lambda lp, mp, xx: _xla(lp, mp, xx, gelu),
+                         ln, deq, x)
+    dln_r, dmlp_r, dx_r = vjp_ref(g)
+
+    _, vjp_k = jax.vjp(
+        lambda lp, mp, xx: pm.ln_mlp_residual_int8(lp, mp, xx, gelu),
+        ln, qmlp, x)
+    dln, dmlp, dx = vjp_k(g)
+    np.testing.assert_allclose(np.asarray(dx, np.float32),
+                               np.asarray(dx_r, np.float32),
+                               rtol=0.08, atol=0.08)
+    for k in ("c_fc", "c_proj"):
+        assert dmlp[k]["w_q"].dtype == jax.dtypes.float0
+        assert not np.any(np.asarray(dmlp[k]["scale"]))
+        np.testing.assert_allclose(np.asarray(dmlp[k]["b"], np.float32),
+                                   np.asarray(dmlp_r[k]["b"], np.float32),
+                                   rtol=0.08, atol=0.08)
+    for a, b in zip(jax.tree.leaves(dln), jax.tree.leaves(dln_r)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=0.08, atol=0.08)
+
+
+def test_block_dispatch_uses_int8_kernel(rng, monkeypatch):
+    """_run_block routes a quantized-MLP block through the int8 fused kernel
+    and the output tracks the dequantized float path."""
+    from aa_clip_iqm_tpu.models import clip as clip_mod
+
+    cfg_d, heads = 128, 2
+    _, mlp = _params(rng, cfg_d, 4 * cfg_d)
+    block = {
+        "ln_1": {"scale": jnp.ones(cfg_d), "bias": jnp.zeros(cfg_d)},
+        "attn": {"qkv": {"w": jnp.asarray(
+            rng.standard_normal((cfg_d, 3 * cfg_d)) * 0.05, jnp.float32),
+            "b": jnp.zeros(3 * cfg_d)},
+            "out": {"w": jnp.asarray(
+                rng.standard_normal((cfg_d, cfg_d)) * 0.05, jnp.float32),
+                "b": jnp.zeros(cfg_d)}},
+        "ln_2": {"scale": jnp.ones(cfg_d), "bias": jnp.zeros(cfg_d)},
+        "mlp": _quantize_mlp(mlp),
+    }
+    x = jnp.asarray(rng.standard_normal((1, 16, cfg_d)), jnp.bfloat16)
+    called = {}
+    real = pm.ln_mlp_residual_int8
+
+    def spy(*a, **k):
+        called["hit"] = True
+        return real(*a, **k)
+
+    monkeypatch.setattr(pm, "ln_mlp_residual_int8", spy)
+    y_fused = clip_mod._run_block(block, x, heads, gelu, use_pallas=True)
+    assert called.get("hit")
+    block_fp = dict(block, mlp=mlp)
+    y_plain = clip_mod._run_block(block_fp, x, heads, gelu, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(y_fused, np.float32),
+                               np.asarray(y_plain, np.float32),
+                               rtol=0.1, atol=0.1)
+
+
 def test_block_dispatch_uses_kernel(rng, monkeypatch):
     """_run_block routes through the fused kernel when the gate passes."""
     from aa_clip_iqm_tpu.models import clip as clip_mod

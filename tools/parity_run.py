@@ -83,6 +83,12 @@ def build_parser():
                    "measures the tier's AUROC delta against the same anchor "
                    "table (docs/DESIGN.md)")
     p.add_argument("--seed", type=int, default=111)
+    p.add_argument("--image_score_mode", default="fixed",
+                   choices=["fixed", "reference_eval"],
+                   help="'reference_eval' transcribes the reference's "
+                   "executed eval image score (survey Q11) so the runbook "
+                   "can quantify the delta against the shipped per-sample "
+                   "semantics")
     p.add_argument("--relu", action="store_true")
     return p
 
@@ -104,7 +110,8 @@ def run_dataset(args, dataset, frozen, trainable, model_cfg, adapt_text,
     eval_cfg = EvalConfig(
         dataset=dataset, img_size=args.img_size,
         batch_size=args.image_batch_size, seed=args.seed,
-        save_path=args.out, compute_dtype=args.compute_dtype)
+        save_path=args.out, compute_dtype=args.compute_dtype,
+        image_score_mode=args.image_score_mode)
     rows = evaluate_dataset(frozen, trainable, model_cfg, eval_cfg, datasets,
                             anchors, logger=logger, compute_dtype=dtype,
                             use_pallas=args.use_pallas)
