@@ -182,6 +182,18 @@ def bench_stage1():
     img = 518
     cfg = build_model_config(img_size=img)
     frozen = load_frozen_backbone(cfg, allow_random=True)
+    frozen_vis = frozen
+    quant = os.environ.get("AACLIP_BENCH_QUANT")
+    if quant in ("int8", "int8_attn"):
+        # Stage 1's visual extraction is no-grad frozen (train.py:75-76), so
+        # int8 here is pure inference speedup — the text-adapter gradient
+        # step below keeps the fp pytree (quantize_backbone_int8 only
+        # touches visual blocks anyway; passing the fp `frozen` to step_fn
+        # keeps this explicit).
+        from aa_clip_iqm_tpu.ops.quant import quantize_backbone_int8
+
+        frozen_vis = quantize_backbone_int8(
+            frozen, scope="attn" if quant == "int8_attn" else "all")
     trainable = init_trainable(cfg)
     train_cfg = TrainConfig(img_size=img, compute_dtype="bfloat16",
                             dataset="MVTec")
@@ -205,7 +217,7 @@ def bench_stage1():
     weights = jnp.ones(batch, jnp.float32)
 
     def one_batch(params, opt_state):
-        feats = visual_fn(frozen, images)
+        feats = visual_fn(frozen_vis, images)
         return step_fn(params, opt_state, frozen, feats, masks, class_idx,
                        weights)
 
