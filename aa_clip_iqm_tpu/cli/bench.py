@@ -299,12 +299,40 @@ def main():
     }))
 
 
+def _init_backend_or_die():
+    """Force backend init under a watchdog: during an axon tunnel outage
+    init HANGS indefinitely (no exception), which would otherwise eat the
+    caller's whole timeout budget. Bound it (AACLIP_BENCH_INIT_TIMEOUT,
+    default 900 s — normal init is seconds; ViT-L *compiles* come later and
+    are not covered by this) and exit non-zero with a clear message."""
+    import os
+    import sys
+    import threading
+
+    timeout_s = float(os.environ.get("AACLIP_BENCH_INIT_TIMEOUT", 900))
+    done = threading.Event()
+
+    def watch():
+        if not done.wait(timeout_s):
+            print(f"bench: backend init did not complete in {timeout_s:.0f}s"
+                  " (TPU tunnel outage?) — aborting", file=sys.stderr)
+            sys.stderr.flush()
+            os._exit(13)
+
+    threading.Thread(target=watch, daemon=True).start()
+    import jax
+
+    jax.devices()
+    done.set()
+
+
 def main_dispatch():
     """Entry point: AACLIP_BENCH_MODE selects inference (default) / train /
     stage1. Exactly one JSON line is printed either way (sweep diagnostics
     are '#'-prefixed)."""
     import os
 
+    _init_backend_or_die()
     mode = os.environ.get("AACLIP_BENCH_MODE", "")
     if mode == "train":
         bench_train()
