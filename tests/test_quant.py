@@ -200,3 +200,65 @@ def test_stage2_step_trains_through_quantized_backbone(model, rng):
         np.asarray(new_tr["image_adapter"]["layer_adapters"]["w"]) -
         np.asarray(trainable["image_adapter"]["layer_adapters"]["w"])).max()
     assert diff > 0
+
+
+def test_stage2_step_through_int8_pallas_kernel(rng, monkeypatch):
+    """The stage-2 step with use_pallas over an int8 backbone routes the MLP
+    through the fused int8 kernel (interpret mode stands in for Mosaic) and
+    still trains: finite loss, non-zero adapter updates through the STE
+    custom_vjp inside the block scan. Needs a width-128 tower (the kernel
+    gate requires d % 128 == 0, which the width-64 tiny fixture fails)."""
+    import dataclasses
+
+    from aa_clip_iqm_tpu.configs import TrainConfig
+    from aa_clip_iqm_tpu.ops import pallas_mlp as pm
+    from aa_clip_iqm_tpu.train import optim, steps
+
+    cfg = tiny_test_config(IMG)
+    cfg = dataclasses.replace(
+        cfg, clip=dataclasses.replace(
+            cfg.clip, vision=dataclasses.replace(
+                cfg.clip.vision, width=128)))
+    frozen = init_clip_params(jax.random.PRNGKey(0), cfg.clip)
+    trainable = adapters_mod.init_adapter_params(jax.random.PRNGKey(1), cfg)
+    qfrozen = quantize_backbone_int8(frozen)
+
+    from aa_clip_iqm_tpu.ops.layers import gelu
+
+    blk = jax.tree.map(lambda x: x[0], qfrozen["visual"]["blocks"])
+    x_probe = jnp.zeros((4, 128), jnp.bfloat16)
+    monkeypatch.setattr(pm, "INTERPRET", True)
+    assert pm.ln_mlp_residual_int8_ok(x_probe, blk["mlp"], gelu)
+
+    called = {}
+    real = pm.ln_mlp_residual_int8
+
+    def spy(*a, **k):
+        called["hit"] = True
+        return real(*a, **k)
+
+    monkeypatch.setattr(pm, "ln_mlp_residual_int8", spy)
+
+    train_cfg = TrainConfig(img_size=IMG, compute_dtype="bfloat16")
+    tx = optim.stage2_optimizer(trainable, train_cfg.image_lr, 4)
+    opt_state = tx.init(trainable)
+    step = steps.make_stage2_step(cfg, train_cfg, tx,
+                                  compute_dtype=jnp.bfloat16,
+                                  use_pallas=True, donate=False)
+    b = 2
+    images = jnp.asarray(
+        rng.standard_normal((b, 3, IMG, IMG)).astype(np.float32))
+    masks = jnp.asarray(
+        (rng.random((b, 1, IMG, IMG)) > 0.8).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 2, b).astype(np.int64))
+    anchors = jnp.asarray(rng.standard_normal(
+        (b, cfg.clip.embed_dim, 2)).astype(np.float32))
+    weights = jnp.ones(b, jnp.float32)
+    new_tr, _, loss = step(trainable, opt_state, qfrozen, images, masks,
+                           labels, anchors, weights)
+    assert called.get("hit"), "int8 fused kernel was not dispatched"
+    assert np.isfinite(float(loss))
+    diff = np.abs(
+        np.asarray(new_tr["image_adapter"]["layer_adapters"]["w"]) -
+        np.asarray(trainable["image_adapter"]["layer_adapters"]["w"])).max()
+    assert diff > 0
