@@ -97,12 +97,15 @@ def bench_train():
     img = 518
     cfg = build_model_config(img_size=img)
     frozen = load_frozen_backbone(cfg, allow_random=True)
-    if os.environ.get("AACLIP_BENCH_QUANT") == "int8":
+    quant = os.environ.get("AACLIP_BENCH_QUANT")
+    if quant in ("int8", "int8_attn"):
         # Opt-in int8-forward training: STE backward through dequantized
-        # weights (ops/quant.py); adapters still train in fp.
+        # weights (ops/quant.py); adapters still train in fp. Same tier
+        # strings as the inference/stage-1 benches.
         from aa_clip_iqm_tpu.ops.quant import quantize_backbone_int8
 
-        frozen = quantize_backbone_int8(frozen)
+        frozen = quantize_backbone_int8(
+            frozen, scope="attn" if quant == "int8_attn" else "all")
     trainable = init_trainable(cfg)
     train_cfg = TrainConfig(img_size=img, compute_dtype="bfloat16")
     tx = optim.stage2_optimizer(trainable, train_cfg.image_lr, 100)
@@ -246,6 +249,58 @@ def bench_stage1():
     }))
 
 
+def bench_latency():
+    """Single-image serving latency (AACLIP_BENCH_MODE=latency).
+
+    Times AnomalyDetector.predict on ONE 518px image end-to-end — the
+    host->device image transfer, the bucket-1 fused program, and fetching
+    the (518, 518) anomaly map + score back to host — i.e. what one caller
+    of the serving API observes. Reports the median; p95 goes to a
+    '#'-prefixed diagnostic line. vs_baseline: the reference's fp32 batch-1
+    GPU pipeline at the inference-baseline estimate (20 img/s -> 50 ms;
+    module docstring — deliberately favorable), ratio = baseline_ms / ours.
+    AACLIP_BENCH_QUANT=int8|int8_attn selects the quantized tier.
+    """
+    import os
+
+    from aa_clip_iqm_tpu.loader import (
+        build_model_config,
+        init_trainable,
+        load_frozen_backbone,
+    )
+    from aa_clip_iqm_tpu.serving import AnomalyDetector
+
+    img = 518
+    cfg = build_model_config(img_size=img)
+    frozen = load_frozen_backbone(cfg, allow_random=True)
+    trainable = init_trainable(cfg)
+    quant = os.environ.get("AACLIP_BENCH_QUANT")
+    det = AnomalyDetector(
+        frozen, trainable, cfg, "MVTec", img_size=img, adapted_text=False,
+        batch_buckets=(1,),
+        quantize=quant if quant in ("int8", "int8_attn") else None)
+    cls = det.class_names()[0]
+
+    rng = np.random.default_rng(0)
+    images = rng.standard_normal((4, 3, img, img)).astype(np.float32)
+    det.predict(images[:1], cls)  # warmup + bucket-1 compile
+    lat_ms = []
+    for i in range(30):
+        t0 = time.perf_counter()
+        det.predict(images[i % 4:i % 4 + 1], cls)
+        lat_ms.append((time.perf_counter() - t0) * 1e3)
+    p50 = float(np.percentile(lat_ms, 50))
+    p95 = float(np.percentile(lat_ms, 95))
+    print(f"# latency p95: {p95:.1f} ms (n=30)")
+    print(json.dumps({
+        "metric": "serving_latency_single_image_518px_p50_ms",
+        "value": round(p50, 1),
+        "unit": "ms",
+        "vs_baseline": round(50.0 / p50, 2),  # reference est. 50 ms batch-1
+        "baseline_estimated": True,
+    }))
+
+
 def main():
     from aa_clip_iqm_tpu.evaluation.predict import make_predict_fn
     from aa_clip_iqm_tpu.loader import (
@@ -328,8 +383,8 @@ def _init_backend_or_die():
 
 def main_dispatch():
     """Entry point: AACLIP_BENCH_MODE selects inference (default) / train /
-    stage1. Exactly one JSON line is printed either way (sweep diagnostics
-    are '#'-prefixed)."""
+    stage1 / latency. Exactly one JSON line is printed either way (sweep and
+    percentile diagnostics are '#'-prefixed)."""
     import os
 
     _init_backend_or_die()
@@ -338,6 +393,8 @@ def main_dispatch():
         bench_train()
     elif mode == "stage1":
         bench_stage1()
+    elif mode == "latency":
+        bench_latency()
     else:
         main()
 

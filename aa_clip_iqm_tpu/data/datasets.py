@@ -57,15 +57,8 @@ def load_metadata(meta_path: str, class_name: Optional[str] = None) -> List[dict
 def _load_image(path: str, img_size: int) -> np.ndarray:
     """RGB bicubic resize -> CHW float32 in [0,1] (native fast path when
     compiled; PIL parity verified in tests/test_native_pipeline.py)."""
-    img = Image.open(path).convert("RGB")
-    if img.size == (img_size, img_size):
-        # already at target resolution: resampling is the identity
-        return np.asarray(img, np.float32).transpose(2, 0, 1) / 255.0
-    if _use_native():
-        return native_pipeline.resize_bicubic_rgb(np.asarray(img), img_size)
-    arr = np.asarray(img.resize((img_size, img_size), Image.BICUBIC),
-                     np.float32) / 255.0
-    return arr.transpose(2, 0, 1)
+    img = np.asarray(Image.open(path).convert("RGB"), np.uint8)
+    return _resize_bicubic_u8(img, img_size)
 
 
 def _load_mask(path: str, img_size: int) -> np.ndarray:

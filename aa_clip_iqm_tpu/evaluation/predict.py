@@ -78,7 +78,8 @@ def make_predict_fn(cfg: ModelConfig, img_size: int, domain: str,
 
 
 def predict_class(predict_fn, frozen, trainable, dataset, class_anchor,
-                  batch_size: int, device_resident: bool = False):
+                  batch_size: int, device_resident: bool = False,
+                  image_score_mode: str = "fixed"):
     """Run a per-class test dataset through the jitted predict fn.
 
     Pads tail batches to the fixed batch size (static shapes — one
@@ -86,6 +87,12 @@ def predict_class(predict_fn, frozen, trainable, dataset, class_anchor,
     maps and masks stay on device (for on-device metrics; only the tiny
     image logits are fetched) — on remote-attached accelerators the map
     fetch otherwise dominates eval wall-clock.
+
+    ``image_score_mode`` must echo the mode ``predict_fn`` was built with:
+    "reference_eval" scores the batch from sample index 1 (survey Q11), so a
+    tail batch with a single valid sample would silently score from a
+    zero-padded row — the reference's executed eval would crash there
+    (``pred[:, 1]`` on a size-1 batch); we raise with the same meaning.
     """
     from ..data.datasets import prefetch
 
@@ -93,6 +100,13 @@ def predict_class(predict_fn, frozen, trainable, dataset, class_anchor,
     anchor_b = jnp.broadcast_to(class_anchor[None], (batch_size,) + class_anchor.shape)
     for batch in prefetch(dataset.batches(batch_size, pad_to_batch=True)):
         n = batch["n_valid"]
+        if image_score_mode == "reference_eval" and n < 2:
+            raise ValueError(
+                "image_score_mode='reference_eval' needs >= 2 valid samples "
+                f"per batch (got a batch with {n}); the reference's executed "
+                "eval indexes sample 1 and would crash here too. Use "
+                "--image_score_mode fixed or a batch size that avoids "
+                "1-sample tail batches.")
         final_map, img_logit = predict_fn(
             frozen, trainable, jnp.asarray(batch["image"]), anchor_b)
         if device_resident:
@@ -181,7 +195,8 @@ def evaluate_dataset(frozen, trainable, model_cfg: ModelConfig,
     for class_name, dataset in datasets.items():
         preds = predict_class(predict_fn, frozen, trainable, dataset,
                               anchors[class_name], eval_cfg.batch_size,
-                              device_resident=device_resident)
+                              device_resident=device_resident,
+                              image_score_mode=eval_cfg.image_score_mode)
         if device_resident:
             row = class_metrics_device(preds, class_name, domain)
         else:

@@ -69,6 +69,12 @@ IQM_FAMILY_KEYS = (
 # pos_embedding keeps its deterministic sinusoidal table and iqm_layer_norm
 # stays an identity-affine LayerNorm. We match the executed reference and
 # keep both frozen (they remain in the checkpoint pytree unchanged).
+# NOTE: moving keys between label groups changes the multi_transform
+# opt-state STRUCTURE (masked adamw moments become MaskedNode), so stage-2
+# resume from a checkpoint saved under the old labels fails with an orbax
+# structure mismatch — the same invalidation class as changing the param
+# pytree layout (CLAUDE.md invariants). Trainable params themselves restore
+# fine; only mid-run opt-state resume is affected.
 UNTRAINED_IQM_KEYS = ("pos_embedding", "iqm_layer_norm")
 
 
@@ -112,3 +118,20 @@ def global_norm_clip(max_norm: float = 1.0):
     a no-op (runs before zero_grad/backward — survey Q4); ours actually clips.
     """
     return optax.clip_by_global_norm(max_norm)
+
+
+def clip_stage2_grads(grads, max_norm: float):
+    """Global-norm clip over the gradients whose stage-2 updates APPLY.
+
+    The 'frozen' label group (text_adapter + UNTRAINED_IQM_KEYS) receives
+    real, nonzero gradients in the backward (those params participate in the
+    forward) but its updates are set_to_zero — counting them in the global
+    norm would over-clip the trained groups. They are zeroed before the norm
+    (free: their updates are discarded anyway)."""
+    labels = stage2_param_labels(grads)
+    grads = jax.tree.map(
+        lambda g, lab: jnp.zeros_like(g) if lab == "frozen" else g,
+        grads, labels)
+    clipped, _ = optax.clip_by_global_norm(max_norm).update(
+        grads, optax.EmptyState())
+    return clipped

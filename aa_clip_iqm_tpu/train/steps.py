@@ -220,8 +220,9 @@ def make_stage2_step(cfg: ModelConfig, train_cfg: TrainConfig,
         loss, grads = jax.value_and_grad(loss_fn)(
             trainable, frozen, images, masks, labels, anchors, weights, rng)
         if clip_grad_norm is not None:
-            grads, _ = optax.clip_by_global_norm(clip_grad_norm).update(
-                grads, optax.EmptyState())
+            from .optim import clip_stage2_grads
+
+            grads = clip_stage2_grads(grads, clip_grad_norm)
         updates, opt_state = tx.update(grads, opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
         return trainable, opt_state, loss

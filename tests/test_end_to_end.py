@@ -214,3 +214,37 @@ def test_image_score_mode_dispatch(model):
 
     with pytest.raises(ValueError):
         make_predict_fn(cfg, IMG, "Industrial", image_score_mode="bogus")
+
+
+def test_reference_eval_rejects_one_sample_tail(synth, model):
+    """predict_class in reference_eval mode refuses a tail batch with one
+    valid sample: sample index 1 would be a zero-padded row, silently scoring
+    the batch from padding (the executed reference crashes there instead —
+    pred[:, 1] on a size-1 batch). The default mode accepts the same batch
+    composition."""
+    from aa_clip_iqm_tpu.evaluation.predict import (
+        make_predict_fn,
+        predict_class,
+    )
+
+    _, metadata_root = synth
+    cfg, frozen, trainable = model
+    datasets = get_dataset("Synth", IMG, None, -1, "test",
+                           metadata_root=metadata_root)
+    dataset = next(iter(datasets.values()))
+    n = len(dataset)
+    assert n >= 3, "synthetic test split too small for a 1-sample tail"
+    batch = n - 1  # tail batch has exactly one valid sample
+    anchor = jnp.asarray(
+        np.random.default_rng(0).standard_normal((cfg.clip.embed_dim, 2)),
+        dtype=jnp.float32)
+
+    fn = make_predict_fn(cfg, IMG, "Industrial",
+                         image_score_mode="reference_eval")
+    with pytest.raises(ValueError, match="reference_eval"):
+        predict_class(fn, frozen, trainable, dataset, anchor, batch,
+                      image_score_mode="reference_eval")
+
+    out = predict_class(make_predict_fn(cfg, IMG, "Industrial"), frozen,
+                        trainable, dataset, anchor, batch)
+    assert out["image_scores"].shape == (n,)

@@ -146,3 +146,34 @@ def test_stage2_param_labels_match_reference_groups():
         np.testing.assert_array_equal(np.asarray(new[k]["w"]),
                                       np.asarray(trainable[k]["w"]))
     assert np.abs(np.asarray(new["iqm"]["w"])).max() > 0
+
+
+def test_clip_stage2_grads_masks_frozen_groups():
+    """--clip_grad_norm's global norm covers ONLY the groups whose updates
+    apply: frozen-labeled gradients (text_adapter, pos_embedding,
+    iqm_layer_norm) are zeroed before the norm, so they neither consume the
+    clip budget nor survive into the clipped tree."""
+    trainable = {
+        "image_adapter": {"w": jnp.full((2, 2), 3.0)},
+        "iqm": {"w": jnp.full((2, 2), 4.0)},
+        "text_adapter": {"w": jnp.full((2, 2), 100.0)},   # frozen
+        "pos_embedding": {"w": jnp.full((2, 2), 100.0)},  # frozen
+    }
+    max_norm = 1.0
+    clipped = optim.clip_stage2_grads(trainable, max_norm)
+
+    # trained-group norm: sqrt(4*9 + 4*16) = 10 -> scale 1/10
+    trained_norm = float(np.sqrt(4 * 9.0 + 4 * 16.0))
+    np.testing.assert_allclose(np.asarray(clipped["image_adapter"]["w"]),
+                               3.0 / trained_norm, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(clipped["iqm"]["w"]),
+                               4.0 / trained_norm, rtol=1e-6)
+    # frozen grads are zeroed (their updates are set_to_zero anyway) — had
+    # they been counted, the scale would be dominated by the 100s.
+    np.testing.assert_array_equal(np.asarray(clipped["text_adapter"]["w"]), 0.0)
+    np.testing.assert_array_equal(np.asarray(clipped["pos_embedding"]["w"]), 0.0)
+
+    # applied-update global norm respects the threshold exactly
+    applied = np.sqrt(sum(float(np.square(np.asarray(clipped[k]["w"])).sum())
+                          for k in ("image_adapter", "iqm")))
+    assert applied == pytest.approx(max_norm, rel=1e-5)
