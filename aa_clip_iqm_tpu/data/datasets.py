@@ -41,6 +41,35 @@ def _use_native() -> bool:
             and native_pipeline.available())
 
 
+def _data_workers() -> int:
+    """Per-sample decode parallelism (the reference's DataLoader num_workers=4,
+    train.py:380, as threads instead of processes: PIL decode and the ctypes
+    C++ transforms release the GIL, so threads scale on multi-core hosts with
+    zero IPC/serialization cost). Default 1 = the current serial path."""
+    try:
+        n = int(os.environ.get("AACLIP_DATA_WORKERS", "1"))
+    except ValueError:
+        return 1
+    return max(1, n)
+
+
+_EXECUTOR = None
+_EXECUTOR_WORKERS = 0
+
+
+def _executor(workers: int):
+    """Process-wide decode pool, resized lazily if the knob changes."""
+    global _EXECUTOR, _EXECUTOR_WORKERS
+    if _EXECUTOR is None or _EXECUTOR_WORKERS != workers:
+        if _EXECUTOR is not None:
+            _EXECUTOR.shutdown(wait=False)
+        from concurrent.futures import ThreadPoolExecutor
+        _EXECUTOR = ThreadPoolExecutor(max_workers=workers,
+                                       thread_name_prefix="aaclip-data")
+        _EXECUTOR_WORKERS = workers
+    return _EXECUTOR
+
+
 def load_metadata(meta_path: str, class_name: Optional[str] = None) -> List[dict]:
     rows = []
     with open(meta_path) as f:
@@ -192,12 +221,17 @@ class TrainDataset:
         self.img_size = img_size
         self.text = text
         self.meta = load_metadata(meta_path)
+        self.seed = seed
         self.rng = np.random.default_rng(seed)
+        self._draws = 0  # per-sample RNG counter for the multi-worker path
 
     def __len__(self):
         return len(self.meta)
 
     def __getitem__(self, idx: int) -> dict:
+        return self._get(idx, self.rng)
+
+    def _get(self, idx: int, rng: np.random.Generator) -> dict:
         meta = self.meta[idx]
         path = os.path.join(self.data_path, meta["image_path"])
         if self.text:
@@ -206,7 +240,7 @@ class TrainDataset:
             # Jitter BEFORE the resize, at original resolution (reference
             # transform_x order — see _color_jitter).
             raw = np.asarray(Image.open(path).convert("RGB"), np.uint8)
-            img01 = _resize_bicubic_u8(_color_jitter(self.rng, raw),
+            img01 = _resize_bicubic_u8(_color_jitter(rng, raw),
                                        self.img_size)
         img = normalize_clip(img01)
         if meta["label"]:
@@ -214,7 +248,7 @@ class TrainDataset:
                               self.img_size)
         else:
             mask = np.zeros((1, self.img_size, self.img_size), np.float32)
-        stacked = _joint_geometric(self.rng, np.concatenate([img, mask], axis=0))
+        stacked = _joint_geometric(rng, np.concatenate([img, mask], axis=0))
         return {
             "image": stacked[:3],
             "mask": stacked[3:4],
@@ -224,14 +258,30 @@ class TrainDataset:
         }
 
     def batches(self, batch_size: int, shuffle: bool = True, drop_last: bool = False):
+        """With AACLIP_DATA_WORKERS>1, samples decode/augment on the thread
+        pool with per-sample counter-derived RNG streams — deterministic for
+        a given (seed, epoch order) regardless of thread interleaving, but a
+        *different* stream than the serial path (exactly the trade torch
+        DataLoader workers make, train.py:380). workers=1 keeps the legacy
+        sequential stream bit-for-bit."""
         order = np.arange(len(self.meta))
         if shuffle:
             self.rng.shuffle(order)
+        workers = _data_workers()
         for start in range(0, len(order), batch_size):
             idxs = order[start:start + batch_size]
             if drop_last and len(idxs) < batch_size:
                 break
-            yield collate([self[int(i)] for i in idxs])
+            if workers > 1:
+                draws = range(self._draws, self._draws + len(idxs))
+                self._draws += len(idxs)
+                jobs = [(int(i), np.random.default_rng((self.seed, d)))
+                        for i, d in zip(idxs, draws)]
+                items = list(_executor(workers).map(
+                    lambda job: self._get(*job), jobs))
+            else:
+                items = [self[int(i)] for i in idxs]
+            yield collate(items)
 
 
 class SingleClassTestDataset:
@@ -271,10 +321,18 @@ class SingleClassTestDataset:
 
     def batches(self, batch_size: int, pad_to_batch: bool = False):
         """Sequential batches; optionally zero-pad the tail batch to a fixed
-        size (static shapes for jit) with a validity mask."""
+        size (static shapes for jit) with a validity mask.
+
+        Eval decode is RNG-free, so AACLIP_DATA_WORKERS>1 parallelizes the
+        per-sample map order-preservingly with output identical to serial —
+        this is the host-bound half of end-to-end eval (docs/DESIGN.md)."""
+        workers = _data_workers()
         for start in range(0, len(self.meta), batch_size):
-            items = [self[i] for i in range(start, min(start + batch_size,
-                                                       len(self.meta)))]
+            idxs = range(start, min(start + batch_size, len(self.meta)))
+            if workers > 1:
+                items = list(_executor(workers).map(self.__getitem__, idxs))
+            else:
+                items = [self[i] for i in idxs]
             batch = collate(items)
             n = len(items)
             if pad_to_batch and n < batch_size:

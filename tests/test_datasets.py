@@ -55,3 +55,76 @@ def test_color_jitter_random_draw_order(rng):
     out2 = datasets._color_jitter(np.random.default_rng(7), u8)
     np.testing.assert_array_equal(out1, out2)
     assert out1.dtype == np.uint8 and out1.shape == u8.shape
+
+
+# ---------------------------------------------------------------------------
+# Multi-worker decode (AACLIP_DATA_WORKERS)
+
+
+def _collect(batches):
+    return [{k: v for k, v in b.items()} for b in batches]
+
+
+def _assert_batches_equal(a, b):
+    assert len(a) == len(b)
+    for ba, bb in zip(a, b):
+        assert ba.keys() == bb.keys()
+        for k in ba:
+            if isinstance(ba[k], np.ndarray):
+                np.testing.assert_array_equal(ba[k], bb[k])
+            else:
+                assert ba[k] == bb[k]
+
+
+@pytest.fixture
+def synth_root(tmp_path):
+    from aa_clip_iqm_tpu.data.synthetic import generate
+    return generate(str(tmp_path), n_normal=3, n_anomalous=4, size=32, seed=2)
+
+
+def test_eval_workers_output_identical(synth_root, monkeypatch):
+    """Eval decode is RNG-free: the thread-pool map must be order-preserving
+    and bit-identical to the serial path."""
+    data_path, meta_path = synth_root
+    ds = datasets.SingleClassTestDataset(data_path, meta_path, img_size=24,
+                                         class_name="widget")
+    monkeypatch.setenv("AACLIP_DATA_WORKERS", "1")
+    serial = _collect(ds.batches(3, pad_to_batch=True))
+    monkeypatch.setenv("AACLIP_DATA_WORKERS", "4")
+    threaded = _collect(ds.batches(3, pad_to_batch=True))
+    _assert_batches_equal(serial, threaded)
+
+
+def test_train_workers_deterministic(synth_root, monkeypatch):
+    """workers>1 uses per-sample counter-derived RNG streams: two epochs'
+    worth of batches from identically-seeded datasets must match exactly,
+    independent of thread scheduling."""
+    data_path, meta_path = synth_root
+    monkeypatch.setenv("AACLIP_DATA_WORKERS", "4")
+    runs = []
+    for _ in range(2):
+        ds = datasets.TrainDataset(data_path, meta_path, img_size=24, seed=9)
+        runs.append(_collect(ds.batches(3)) + _collect(ds.batches(3)))
+    _assert_batches_equal(runs[0], runs[1])
+
+
+def test_train_workers_serial_stream_unchanged(synth_root, monkeypatch):
+    """workers=1 (the default) must keep the legacy sequential RNG stream:
+    same batches as an unset env var."""
+    data_path, meta_path = synth_root
+    monkeypatch.delenv("AACLIP_DATA_WORKERS", raising=False)
+    ds = datasets.TrainDataset(data_path, meta_path, img_size=24, seed=5)
+    default = _collect(ds.batches(4))
+    monkeypatch.setenv("AACLIP_DATA_WORKERS", "1")
+    ds = datasets.TrainDataset(data_path, meta_path, img_size=24, seed=5)
+    explicit = _collect(ds.batches(4))
+    _assert_batches_equal(default, explicit)
+
+
+def test_data_workers_parsing(monkeypatch):
+    monkeypatch.setenv("AACLIP_DATA_WORKERS", "bogus")
+    assert datasets._data_workers() == 1
+    monkeypatch.setenv("AACLIP_DATA_WORKERS", "-3")
+    assert datasets._data_workers() == 1
+    monkeypatch.setenv("AACLIP_DATA_WORKERS", "6")
+    assert datasets._data_workers() == 6
