@@ -103,11 +103,11 @@ def main():
     frozen = load_frozen_backbone(model_cfg, args.backbone,
                                   allow_random=args.random_backbone)
     if args.quantize_backbone:
-        from aa_clip_iqm_tpu.ops.quant import quantize_backbone_int8
+        from aa_clip_iqm_tpu.ops.quant import quantize_backbone_tier
 
-        scope = "attn" if args.quantize_backbone == "int8_attn" else "all"
-        frozen = quantize_backbone_int8(frozen, scope=scope)
-        logger.info("frozen backbone quantized to int8 (scope=%s)", scope)
+        frozen = quantize_backbone_tier(frozen, args.quantize_backbone)
+        logger.info("frozen backbone quantized (tier=%s)",
+                    args.quantize_backbone)
     trainable = init_trainable(model_cfg, seed=args.seed)
 
     if args.debug_nans:

@@ -73,13 +73,11 @@ def _png_overlay(image01: np.ndarray, amap: np.ndarray) -> str:
     [0,1] CHW RGB input, via the parity-tested visualize path."""
     import cv2
 
-    from aa_clip_iqm_tpu.evaluation.visualize import apply_ad_scoremap
+    from aa_clip_iqm_tpu.evaluation.visualize import render_overlay
 
-    norm = (amap - amap.min()) / (amap.max() - amap.min() + 1e-8)
-    heat = (norm * 255).astype(np.uint8)
     bgr = (np.clip(image01, 0, 1).transpose(1, 2, 0)[..., ::-1]
            * 255).astype(np.uint8)
-    overlay = apply_ad_scoremap(np.ascontiguousarray(bgr), heat)
+    overlay = render_overlay(bgr, amap)
     ok, buf = cv2.imencode(".png", overlay)
     if not ok:
         raise RuntimeError("PNG encoding failed")

@@ -123,14 +123,11 @@ def main():
     if args.visualize:
         import cv2
 
-        from aa_clip_iqm_tpu.evaluation.visualize import apply_ad_scoremap
+        from aa_clip_iqm_tpu.evaluation.visualize import render_overlay
 
-        norm = (final_map - final_map.min()) / (
-            final_map.max() - final_map.min() + 1e-8)
-        heat = (norm * 255).astype(np.uint8)
         orig = cv2.imread(args.image_path)
         orig = cv2.resize(orig, (args.img_size, args.img_size))
-        overlay = apply_ad_scoremap(orig, heat)
+        overlay = render_overlay(orig, final_map)
         cv2.imwrite(args.out, overlay)
         print(f"saved visualization to {args.out}")
     else:

@@ -145,6 +145,12 @@ def image_logit_reference_eval(det_token, anchors):
     whole batch scores as sample index 1's normal-anchor cosine. Requires
     B >= 2 like the reference (B == 1 raises there). Not used by the eval
     pipeline — see :func:`image_logit` for the shipped semantics."""
+    if det_token.shape[0] < 2:
+        # Fail like the reference does (pred[:, 1] IndexErrors at B == 1)
+        # instead of letting JAX's clamped indexing silently score sample 0.
+        raise ValueError(
+            "image_logit_reference_eval requires batch >= 2: the reference's"
+            " pred[:, 1] crashes at B == 1 (test_last.py:90-92)")
     pred = jnp.einsum("d,bdc->bc", det_token.astype(jnp.float32)[1],
                       anchors.astype(jnp.float32))
     return (pred[:, 0] + 1.0) * 0.5

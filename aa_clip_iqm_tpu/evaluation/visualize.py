@@ -22,6 +22,17 @@ def apply_ad_scoremap(image: np.ndarray, scoremap: np.ndarray,
     return (alpha * image + (1 - alpha) * colored).astype(np.uint8)
 
 
+def render_overlay(image_bgr: np.ndarray, amap: np.ndarray,
+                   alpha: float = 0.5) -> np.ndarray:
+    """Min-max-normalize a float anomaly map and JET-blend it onto a BGR
+    uint8 image. Shared front-end for the serving and single-image CLIs
+    (which render one map at a time; `dump_heatmaps` below normalizes
+    jointly across a whole class like the reference eval loop)."""
+    norm = (amap - amap.min()) / (amap.max() - amap.min() + 1e-8)
+    heat = (norm * 255).astype(np.uint8)
+    return apply_ad_scoremap(np.ascontiguousarray(image_bgr), heat, alpha)
+
+
 def _flat_name(rel_path: str) -> str:
     parts = rel_path.replace("\\", "/").split("/")
     return "_".join(parts[-2:]) if len(parts) >= 2 else parts[-1]

@@ -142,6 +142,24 @@ def _quantize_block_tree(blocks, scope: str = "all"):
     }
 
 
+def quantize_backbone_tier(frozen, tier):
+    """Tier-string front-end shared by every CLI/env/serving entry point.
+
+    tier: None / "" (no-op), "int8" (all block matmuls) or "int8_attn"
+    (qkv/out only; the MLP keeps the fused Pallas kernel). Anything else —
+    e.g. a typo'd AACLIP_BENCH_QUANT=int8-attn — raises instead of silently
+    running the fp tier under a quantized label.
+    """
+    if tier in (None, ""):
+        return frozen
+    if tier not in ("int8", "int8_attn"):
+        raise ValueError(
+            f"unknown quantization tier {tier!r}; expected 'int8' or"
+            " 'int8_attn'")
+    return quantize_backbone_int8(
+        frozen, scope="attn" if tier == "int8_attn" else "all")
+
+
 def quantize_backbone_int8(frozen, scope: str = "all"):
     """Frozen CLIP pytree -> copy with the visual-tower block matmuls in
     int8. Everything else (visual embeddings/LNs/proj, the whole text tower,

@@ -86,13 +86,9 @@ class AnomalyDetector:
             # are computed BELOW with the full-precision text tower either
             # way (the quantized pytree shares it), so only the visual
             # block matmuls change.
-            if quantize not in ("int8", "int8_attn"):
-                raise ValueError(f"quantize must be None, 'int8' or "
-                                 f"'int8_attn', got {quantize!r}")
-            from .ops.quant import quantize_backbone_int8
+            from .ops.quant import quantize_backbone_tier
 
-            frozen = quantize_backbone_int8(
-                frozen, scope="attn" if quantize == "int8_attn" else "all")
+            frozen = quantize_backbone_tier(frozen, quantize)
         self.frozen = frozen
         self.trainable = trainable
         self.cfg = model_cfg
@@ -474,6 +470,11 @@ class MicroBatchingService:
         self.max_latency = max_latency_ms / 1000.0
         self._queue: "queue.Queue" = queue.Queue()
         self._closed = False
+        # Serializes the closed-check-then-put in submit() against close()'s
+        # closed-set-then-STOP: without it a submit could pass the check,
+        # lose the CPU, and enqueue behind the sentinel after the worker's
+        # shutdown drain already ran — an unresolvable Future.
+        self._lock = threading.Lock()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -488,12 +489,13 @@ class MicroBatchingService:
         """
         from concurrent.futures import Future
 
-        if self._closed:
-            raise RuntimeError("MicroBatchingService is closed")
         if image.ndim != 3:
             raise ValueError(f"expected one (3, H, W) image, got {image.shape}")
         fut: Future = Future()
-        self._queue.put((image, class_name, fut))
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("MicroBatchingService is closed")
+            self._queue.put((image, class_name, fut))
         return fut
 
     def predict(self, image: np.ndarray, class_name: str):
@@ -503,9 +505,10 @@ class MicroBatchingService:
     def close(self):
         """Idempotent shutdown: in-flight requests still resolve; anything
         enqueued behind the STOP sentinel is drained with RuntimeError."""
-        if not self._closed:
-            self._closed = True
-            self._queue.put(self._STOP)
+        with self._lock:
+            if not self._closed:
+                self._closed = True
+                self._queue.put(self._STOP)
         self._worker.join()
 
     # ------------------------------------------------------------------
@@ -536,6 +539,22 @@ class MicroBatchingService:
                 batch.append(nxt)
             self._flush(batch)
 
+    @staticmethod
+    def _settle(fut, result=None, exc=None):
+        """Resolve a request Future, tolerating caller-side cancel().
+
+        submit() hands out raw Futures that stay PENDING until flushed, so a
+        caller's cancel() (a client giving up mid-compile) succeeds;
+        set_result on a cancelled Future raises InvalidStateError, which
+        would escape _run and kill the worker thread for good. Claiming the
+        future first skips cancelled ones atomically."""
+        if not fut.set_running_or_notify_cancel():
+            return  # cancelled by the caller; nothing to deliver
+        if exc is not None:
+            fut.set_exception(exc)
+        else:
+            fut.set_result(result)
+
     def _drain(self):
         """Fail any requests that raced past close() behind the sentinel."""
         import queue
@@ -546,9 +565,9 @@ class MicroBatchingService:
             except queue.Empty:
                 return
             if item is not self._STOP:
-                item[2].set_exception(
-                    RuntimeError("MicroBatchingService closed before "
-                                 "this request was served"))
+                self._settle(item[2], exc=RuntimeError(
+                    "MicroBatchingService closed before "
+                    "this request was served"))
 
     def _flush(self, batch):
         multi = getattr(self.detector, "predict_multi", None)
@@ -566,7 +585,7 @@ class MicroBatchingService:
         valid = []
         for item in batch:
             if known is not None and item[1] not in known:
-                item[2].set_exception(KeyError(
+                self._settle(item[2], exc=KeyError(
                     f"unknown class {item[1]!r}; available: {sorted(known)}"))
             else:
                 valid.append(item)
@@ -578,10 +597,10 @@ class MicroBatchingService:
             maps, scores = multi(images, [c for _, c, _ in valid])
         except Exception as exc:  # propagate to every waiter
             for f in futs:
-                f.set_exception(exc)
+                self._settle(f, exc=exc)
             return
         for i, f in enumerate(futs):
-            f.set_result((maps[i], scores[i]))
+            self._settle(f, result=(maps[i], scores[i]))
 
     def _flush_by_class(self, batch):
         """Fallback for detectors exposing only single-class predict()."""
@@ -595,7 +614,7 @@ class MicroBatchingService:
                 maps, scores = self.detector.predict(images, class_name)
             except Exception as exc:  # propagate to every waiter
                 for f in futs:
-                    f.set_exception(exc)
+                    self._settle(f, exc=exc)
                 continue
             for i, f in enumerate(futs):
-                f.set_result((maps[i], scores[i]))
+                self._settle(f, result=(maps[i], scores[i]))

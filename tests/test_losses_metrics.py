@@ -1,5 +1,6 @@
 """Loss parity (vs hand-computed torch) + metric parity vs sklearn."""
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as F
 from sklearn.metrics import average_precision_score, roc_auc_score
@@ -140,3 +141,7 @@ def test_image_logit_reference_eval_transcription(rng):
     out_same = np.asarray(scoring.image_logit_reference_eval(det,
                                                             anchors_same))
     np.testing.assert_allclose(out_same, np.full(4, out_same[0]), rtol=1e-5)
+    # B == 1 must fail loudly like the reference (pred[:, 1] IndexErrors),
+    # not silently clamp to sample 0 under JAX indexing.
+    with pytest.raises(ValueError, match="batch >= 2"):
+        scoring.image_logit_reference_eval(det[:1], anchors[:1])

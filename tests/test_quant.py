@@ -113,6 +113,26 @@ def test_quantize_scope_attn(model, rng):
         quantize_backbone_int8(frozen, scope="mlp")
 
 
+def test_quantize_backbone_tier_frontend(model):
+    """quantize_backbone_tier: the shared CLI/env/serving tier mapping —
+    None/'' pass through untouched, valid tiers map to the right scope, and
+    a typo raises instead of silently running an unintended tier."""
+    import pytest
+
+    from aa_clip_iqm_tpu.ops.quant import quantize_backbone_tier
+
+    cfg, frozen, _ = model
+    assert quantize_backbone_tier(frozen, None) is frozen
+    assert quantize_backbone_tier(frozen, "") is frozen
+    q_all = quantize_backbone_tier(frozen, "int8")
+    assert "w_q" in q_all["visual"]["blocks"]["mlp"]["c_fc"]
+    q_attn = quantize_backbone_tier(frozen, "int8_attn")
+    assert "w_q" in q_attn["visual"]["blocks"]["attn"]["qkv"]
+    assert "w_q" not in q_attn["visual"]["blocks"]["mlp"]["c_fc"]
+    with pytest.raises(ValueError, match="int8-attn"):
+        quantize_backbone_tier(frozen, "int8-attn")
+
+
 def test_quantized_predict_pipeline(model, rng):
     """End-to-end fused predict with the int8 backbone: finite outputs,
     anomaly maps rank-correlated with the fp pipeline (the bf16-study

@@ -224,6 +224,30 @@ def test_micro_batching_stress(rng):
     assert sum(det.batch_sizes) == 48
 
 
+def test_micro_batching_cancelled_future_keeps_worker(rng):
+    """A caller cancelling its still-pending Future must not kill the
+    worker: submit() hands out raw Futures, so cancel() succeeds until the
+    flush claims them — an unguarded set_result would then raise
+    InvalidStateError inside _run and every later submit would hang."""
+    det = _StubDetector()
+    svc = MicroBatchingService(det, max_batch=8, max_latency_ms=500.0)
+    images = rng.standard_normal((3, 3, 8, 8)).astype(np.float32)
+    try:
+        doomed = svc.submit(images[0], "a")
+        assert doomed.cancel()  # pending inside the coalescing window
+        # Exception path too: unknown class settles via the same guard.
+        doomed_cls = svc.submit(images[1], "nope")
+        assert doomed_cls.cancel()
+        live = svc.submit(images[2], "a")
+        amap, score = live.result(timeout=30)  # worker survived the cancels
+        np.testing.assert_allclose(amap, images[2].mean(axis=0),
+                                   rtol=1e-5, atol=1e-6)
+        assert svc._worker.is_alive()
+        assert doomed.cancelled() and doomed_cls.cancelled()
+    finally:
+        svc.close()
+
+
 def test_micro_batching_close_semantics(rng):
     """close() during flight: in-flight futures resolve; requests stuck
     behind the STOP sentinel fail with RuntimeError instead of hanging; and
@@ -385,7 +409,7 @@ def test_detector_int8_quantized(trained, rng):
     assert np.isfinite(maps_q).all() and np.isfinite(scores_q).all()
     rho = stats.spearmanr(maps.ravel(), maps_q.ravel()).statistic
     assert rho > 0.98, rho
-    with pytest.raises(ValueError, match="quantize"):
+    with pytest.raises(ValueError, match="quantization tier"):
         AnomalyDetector(frozen, trainable, cfg, "Synth", img_size=IMG,
                         compute_dtype=np.float32, use_pallas=False,
                         quantize="fp4")

@@ -8,13 +8,32 @@ import pytest
 
 cv2 = pytest.importorskip("cv2")
 
-from aa_clip_iqm_tpu.evaluation.visualize import apply_ad_scoremap, dump_heatmaps
+from aa_clip_iqm_tpu.evaluation.visualize import (
+    apply_ad_scoremap,
+    dump_heatmaps,
+    render_overlay,
+)
 
 
 def ref_apply_ad_scoremap(image, scoremap, alpha=0.5):
     """Transcription of forward_utils.py:311-313."""
     scoremap = cv2.applyColorMap(scoremap, cv2.COLORMAP_JET)
     return (alpha * image + (1 - alpha) * scoremap).astype(np.uint8)
+
+
+def test_render_overlay_matches_open_coded_formula():
+    """render_overlay (the shared single-map front-end used by the serving
+    and single-image CLIs) == min-max normalize -> uint8 heat ->
+    apply_ad_scoremap, byte-identical."""
+    rng = np.random.default_rng(0)
+    amap = rng.random((24, 24)).astype(np.float32) * 3 - 1
+    bgr = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    norm = (amap - amap.min()) / (amap.max() - amap.min() + 1e-8)
+    expect = ref_apply_ad_scoremap(bgr, (norm * 255).astype(np.uint8))
+    np.testing.assert_array_equal(render_overlay(bgr, amap), expect)
+    # Degenerate constant map must not NaN (the +1e-8 guard).
+    out = render_overlay(bgr, np.full((24, 24), 0.5, np.float32))
+    assert out.dtype == np.uint8 and out.shape == (24, 24, 3)
 
 
 def ref_visualize(pixel_label, pixel_preds, file_names, save_dir,

@@ -173,11 +173,10 @@ def main(argv=None):
                         f"epoch {epoch})")
 
     if args.quantize_backbone:
-        from aa_clip_iqm_tpu.ops.quant import quantize_backbone_int8
+        from aa_clip_iqm_tpu.ops.quant import quantize_backbone_tier
 
-        scope = "attn" if args.quantize_backbone == "int8_attn" else "all"
-        frozen = quantize_backbone_int8(frozen, scope=scope)
-        weights_mode += f" + int8 backbone (scope={scope})"
+        frozen = quantize_backbone_tier(frozen, args.quantize_backbone)
+        weights_mode += f" + quantized backbone ({args.quantize_backbone})"
 
     anchor_table = {}
     if args.anchor_table:

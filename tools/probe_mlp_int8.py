@@ -4,11 +4,16 @@ weights (ops/pallas_mlp.ln_mlp_residual vs ln_mlp_residual_int8), plus the
 unfused XLA int8_linear chain, at the flagship ViT-L shape. Times a 24-deep
 chain inside ONE jit, reports ms/chain and the int8 kernel's numeric error
 vs the fp chain. Throwaway probe; results recorded in docs/DESIGN.md."""
+import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
 
 from aa_clip_iqm_tpu.ops import pallas_mlp as pm
 from aa_clip_iqm_tpu.ops.layers import gelu, layer_norm, linear
