@@ -97,15 +97,12 @@ def bench_train():
     img = 518
     cfg = build_model_config(img_size=img)
     frozen = load_frozen_backbone(cfg, allow_random=True)
-    quant = os.environ.get("AACLIP_BENCH_QUANT")
-    if quant in ("int8", "int8_attn"):
-        # Opt-in int8-forward training: STE backward through dequantized
-        # weights (ops/quant.py); adapters still train in fp. Same tier
-        # strings as the inference/stage-1 benches.
-        from aa_clip_iqm_tpu.ops.quant import quantize_backbone_int8
+    # Opt-in int8-forward training: STE backward through dequantized
+    # weights (ops/quant.py); adapters still train in fp. Same tier
+    # strings as the inference/stage-1 benches; typos raise.
+    from aa_clip_iqm_tpu.ops.quant import quantize_backbone_tier
 
-        frozen = quantize_backbone_int8(
-            frozen, scope="attn" if quant == "int8_attn" else "all")
+    frozen = quantize_backbone_tier(frozen, os.environ.get("AACLIP_BENCH_QUANT"))
     trainable = init_trainable(cfg)
     train_cfg = TrainConfig(img_size=img, compute_dtype="bfloat16")
     tx = optim.stage2_optimizer(trainable, train_cfg.image_lr, 100)
@@ -185,18 +182,15 @@ def bench_stage1():
     img = 518
     cfg = build_model_config(img_size=img)
     frozen = load_frozen_backbone(cfg, allow_random=True)
-    frozen_vis = frozen
-    quant = os.environ.get("AACLIP_BENCH_QUANT")
-    if quant in ("int8", "int8_attn"):
-        # Stage 1's visual extraction is no-grad frozen (train.py:75-76), so
-        # int8 here is pure inference speedup — the text-adapter gradient
-        # step below keeps the fp pytree (quantize_backbone_int8 only
-        # touches visual blocks anyway; passing the fp `frozen` to step_fn
-        # keeps this explicit).
-        from aa_clip_iqm_tpu.ops.quant import quantize_backbone_int8
+    # Stage 1's visual extraction is no-grad frozen (train.py:75-76), so
+    # int8 here is pure inference speedup — the text-adapter gradient
+    # step below keeps the fp pytree (the tier front-end only touches
+    # visual blocks anyway; passing the fp `frozen` to step_fn keeps this
+    # explicit).
+    from aa_clip_iqm_tpu.ops.quant import quantize_backbone_tier
 
-        frozen_vis = quantize_backbone_int8(
-            frozen, scope="attn" if quant == "int8_attn" else "all")
+    frozen_vis = quantize_backbone_tier(
+        frozen, os.environ.get("AACLIP_BENCH_QUANT"))
     trainable = init_trainable(cfg)
     train_cfg = TrainConfig(img_size=img, compute_dtype="bfloat16",
                             dataset="MVTec")
@@ -274,11 +268,10 @@ def bench_latency():
     cfg = build_model_config(img_size=img)
     frozen = load_frozen_backbone(cfg, allow_random=True)
     trainable = init_trainable(cfg)
-    quant = os.environ.get("AACLIP_BENCH_QUANT")
     det = AnomalyDetector(
         frozen, trainable, cfg, "MVTec", img_size=img, adapted_text=False,
         batch_buckets=(1,),
-        quantize=quant if quant in ("int8", "int8_attn") else None)
+        quantize=os.environ.get("AACLIP_BENCH_QUANT") or None)
     cls = det.class_names()[0]
 
     rng = np.random.default_rng(0)
@@ -316,16 +309,14 @@ def main():
 
     import os
 
-    quant = os.environ.get("AACLIP_BENCH_QUANT")
-    if quant in ("int8", "int8_attn"):
-        # Int8 frozen-backbone tier (ops/quant.py); "int8_attn" quantizes
-        # only qkv/out so the MLP keeps the fused Pallas kernel — the two
-        # optimizations stack. Numerics bounded in tests/test_quant.py +
-        # docs/DESIGN.md.
-        from aa_clip_iqm_tpu.ops.quant import quantize_backbone_int8
+    # Int8 frozen-backbone tier (ops/quant.py); "int8_attn" quantizes
+    # only qkv/out so the MLP keeps the fused Pallas kernel — the two
+    # optimizations stack. Numerics bounded in tests/test_quant.py +
+    # docs/DESIGN.md. Typo'd tiers raise instead of silently running fp.
+    from aa_clip_iqm_tpu.ops.quant import quantize_backbone_tier
 
-        frozen = quantize_backbone_int8(
-            frozen, scope="attn" if quant == "int8_attn" else "all")
+    frozen = quantize_backbone_tier(frozen,
+                                    os.environ.get("AACLIP_BENCH_QUANT"))
 
     configs = []
     if os.environ.get("AACLIP_BENCH_SWEEP"):

@@ -139,5 +139,5 @@ def test_parity_run_dry_run(tmp_path):
                                    "--quantize_backbone", "int8"]) == 0
     with open(os.path.join(out4, "report.json")) as f:
         repq = json.load(f)
-    assert "int8 backbone" in repq["weights"]
+    assert "quantized backbone (int8)" in repq["weights"]
     assert np.isfinite(repq["datasets"]["Synth"]["average"]["pixel AUC"])
