@@ -390,6 +390,28 @@ def test_exported_predictor_bf16_weights(trained, rng, tmp_path):
     np.testing.assert_allclose(scores, ref_scores, rtol=1e-4, atol=1e-5)
 
 
+def test_export_predictor_quantized(trained, rng, tmp_path):
+    """The int8 tier exports (tools/export_model.py --quantize_backbone):
+    the quantized frozen pytree (int8 w_q leaves + fp scales) survives the
+    external weights.npz round trip and the artifact reproduces the live
+    quantized detector."""
+    from aa_clip_iqm_tpu.serving import ExportedPredictor, export_predictor
+
+    root, save_path, cfg, frozen = trained
+    det = AnomalyDetector(
+        frozen, _restored_trainable(save_path, cfg), cfg, "Synth",
+        img_size=IMG, adapted_text=True, compute_dtype=np.float32,
+        use_pallas=False, quantize="int8")
+    out = str(tmp_path / "exported_q")
+    export_predictor(det, out, batch_sizes=(2,))
+    pred = ExportedPredictor(out)
+    images = rng.standard_normal((2, 3, IMG, IMG)).astype(np.float32)
+    ref_maps, ref_scores = det.predict(images, "widget")
+    maps, scores = pred.predict(images, "widget")
+    np.testing.assert_allclose(maps, ref_maps, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(scores, ref_scores, rtol=1e-4, atol=1e-5)
+
+
 def test_detector_int8_quantized(trained, rng):
     """quantize='int8' serves from the quantized backbone: outputs finite
     and strongly rank-correlated with the fp detector's maps."""

@@ -36,6 +36,11 @@ def main():
     p.add_argument("--random_backbone", action="store_true")
     p.add_argument("--batches", type=int, nargs="+", default=[1, 8, 16])
     p.add_argument("--no_pallas", action="store_true")
+    p.add_argument("--quantize_backbone", type=str, default=None,
+                   choices=("int8", "int8_attn"),
+                   help="export the quantized frozen-backbone tier "
+                        "(ops/quant.py; int8 measures +20%% img/s @518 — "
+                        "docs/DESIGN.md)")
     p.add_argument("--baked", action="store_true",
                    help="embed weights as StableHLO constants instead of the "
                         "default external weights.npz (self-contained but "
@@ -53,7 +58,8 @@ def main():
     det = AnomalyDetector.from_checkpoint(
         args.save_path, args.dataset, img_size=args.img_size,
         backbone=args.backbone, allow_random_backbone=args.random_backbone,
-        model_name=args.model_name, use_pallas=not args.no_pallas)
+        model_name=args.model_name, use_pallas=not args.no_pallas,
+        quantize=args.quantize_backbone)
     export_predictor(det, args.out, batch_sizes=tuple(args.batches),
                      weights="baked" if args.baked else "external")
     print(f"exported {sorted(args.batches)} -> {args.out}")

@@ -3,11 +3,16 @@
 (ops/pallas_attn_block.py) vs the shipping chain (XLA LN/qkv/out-proj +
 packed flash kernel). Times a 24-deep chain inside ONE jit. Throwaway
 probe; results recorded in docs/DESIGN.md."""
+import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
 
 from aa_clip_iqm_tpu.ops import attention as attn_ops
 from aa_clip_iqm_tpu.ops import pallas_attn_block as pb
