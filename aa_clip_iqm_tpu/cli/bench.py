@@ -378,16 +378,18 @@ def main_dispatch():
     percentile diagnostics are '#'-prefixed)."""
     import os
 
-    _init_backend_or_die()
+    # Validate BEFORE backend init: a typo'd mode must not silently run the
+    # inference bench and report its number under the intended label (same
+    # contract as the AACLIP_BENCH_QUANT tier strings).
     mode = os.environ.get("AACLIP_BENCH_MODE", "")
-    if mode == "train":
-        bench_train()
-    elif mode == "stage1":
-        bench_stage1()
-    elif mode == "latency":
-        bench_latency()
-    else:
-        main()
+    dispatch = {"": main, "train": bench_train, "stage1": bench_stage1,
+                "latency": bench_latency}
+    if mode not in dispatch:
+        raise ValueError(
+            f"unknown AACLIP_BENCH_MODE {mode!r}; expected one of "
+            f"{sorted(k for k in dispatch if k)} or unset")
+    _init_backend_or_die()
+    dispatch[mode]()
 
 
 if __name__ == "__main__":

@@ -49,6 +49,7 @@ import io
 import json
 import logging
 import threading
+import time
 from concurrent import futures
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlsplit
@@ -184,11 +185,12 @@ class PredictHandler(BaseHTTPRequestHandler):
             raise _HTTPError(400, f"map must be npy|png|none, got {map_mode!r}")
         return out
 
-    def _await(self, fut):
+    def _await(self, fut, timeout=None):
         """Resolve a micro-batcher future into (map, score) or an HTTP
         error. Unknown class -> 404; closed service -> 503."""
         try:
-            return fut.result(timeout=self.server.request_timeout)
+            return fut.result(timeout=self.server.request_timeout
+                              if timeout is None else timeout)
         except KeyError as exc:
             raise _HTTPError(404, str(exc.args[0]) if exc.args else str(exc))
         # concurrent.futures.TimeoutError only aliases the builtin from
@@ -261,10 +263,15 @@ class PredictHandler(BaseHTTPRequestHandler):
         # micro-batch window and dispatches as coalesced device batches.
         futs = [self.server.service.submit(img, cls)
                 for img, cls in decoded]
+        # One SHARED deadline for the whole batch: per-item full timeouts
+        # would let a stuck device (e.g. a tunnel outage) hold this handler
+        # thread for N x request_timeout instead of ~request_timeout.
+        deadline = time.monotonic() + self.server.request_timeout
         results = []
         for fut, (img, _) in zip(futs, decoded):
             try:
-                amap, score = self._await(fut)
+                amap, score = self._await(
+                    fut, timeout=max(0.0, deadline - time.monotonic()))
                 results.append(self._result_json(amap, score, img, map_mode))
             except _HTTPError as exc:  # per-item failure, batch continues
                 results.append({"error": str(exc), "status": exc.status})

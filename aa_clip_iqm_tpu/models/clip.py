@@ -188,9 +188,18 @@ def _maybe_prepad(x, num_heads: int, use_pallas: bool, fused_mlp=True):
     the tower XLA fuses the per-layer pads for free and prepadding only
     adds FLOPs (XLA-MLP grad path measured 31.17 vs 32.03 img/s; with the
     frozen-mode kernel prepad wins again, 32.90 vs 32.70)."""
+    from ..ops import pallas_mlp
+
     valid_len = None
     n_tokens = x.shape[1]
+    # The bf16 check mirrors the fused-MLP kernels' own eligibility
+    # (ln_mlp_residual[_int8]_ok all require bf16 x): under float32 compute
+    # no fused MLP ever dispatches, and prepad-without-fused-MLP is the
+    # measured-slower configuration this gate exists to avoid. INTERPRET
+    # keeps the CPU interpreter tests (which drive the tower in f32) on the
+    # prepadded path.
     if (PREPAD_TOKENS and use_pallas and fused_mlp and n_tokens % 128
+            and (x.dtype == jnp.bfloat16 or pallas_mlp.INTERPRET)
             and attn_ops._packed_pallas_ok(x, num_heads, None)):
         valid_len = n_tokens
         x = jnp.pad(x, ((0, 0), (0, 128 - n_tokens % 128), (0, 0)))

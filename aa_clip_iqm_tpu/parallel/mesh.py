@@ -57,6 +57,14 @@ def make_multislice_mesh(n_slices: int, n_data: Optional[int] = None,
     per_slice = len(devices) // n_slices
     if n_data is None:
         n_data = per_slice // n_model
+    if n_data < 1:
+        # Without this, n_model > per_slice would give need == 0 and a
+        # zero-device (n_slices, 0, n_model) mesh that only fails much
+        # later with a cryptic sharding error.
+        raise ValueError(
+            f"make_multislice_mesh: {len(devices)} devices cannot fit "
+            f"{n_slices} slices x n_model={n_model} (data axis would be "
+            f"{n_data})")
     need = n_slices * n_data * n_model
     if len(devices) < need:
         raise ValueError(

@@ -491,6 +491,15 @@ class MicroBatchingService:
 
         if image.ndim != 3:
             raise ValueError(f"expected one (3, H, W) image, got {image.shape}")
+        # Full shape validation happens HERE, synchronously, so a malformed
+        # request fails only its own caller. Deferring it to the batch-time
+        # np.stack would fail every future coalesced into the same window
+        # (requests from unrelated callers/classes share one device batch).
+        size = getattr(self.detector, "img_size", None)
+        if size is not None and image.shape != (3, size, size):
+            raise ValueError(
+                f"expected one (3, {size}, {size}) image for this detector, "
+                f"got {image.shape}")
         fut: Future = Future()
         with self._lock:
             if self._closed:

@@ -86,3 +86,14 @@ def test_single_image_cli_visualize(cli_data, monkeypatch, tmp_path):
         "--compute_dtype", "float32", "--visualize", "--out", out])
     overlay = cv2.imread(out)
     assert overlay is not None and overlay.shape == (IMG, IMG, 3)
+
+
+def test_bench_rejects_unknown_mode(monkeypatch):
+    """A typo'd AACLIP_BENCH_MODE must raise (before backend init), not
+    silently run the inference bench under the intended label — same
+    contract as the AACLIP_BENCH_QUANT tier strings."""
+    from aa_clip_iqm_tpu.cli import bench
+
+    monkeypatch.setenv("AACLIP_BENCH_MODE", "latnecy")
+    with pytest.raises(ValueError, match="AACLIP_BENCH_MODE"):
+        bench.main_dispatch()

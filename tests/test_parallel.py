@@ -202,3 +202,8 @@ def test_multislice_mesh_validates_device_count():
     mesh = mesh_mod.make_multislice_mesh(2, n_data=len(devices) // 4,
                                          n_model=2, devices=devices)
     assert mesh.devices.shape == (2, len(devices) // 4, 2)
+    # n_model bigger than a slice would derive n_data == 0 -> a zero-device
+    # mesh; must raise up front instead.
+    with pytest.raises(ValueError, match="data axis"):
+        mesh_mod.make_multislice_mesh(len(devices), n_model=2,
+                                      devices=devices)

@@ -165,10 +165,11 @@ class _StubDetector:
     """Minimal bucketed-predict contract for service concurrency tests:
     map = image mean + class offset, score = batch-position-independent."""
 
-    def __init__(self, classes=("a", "b", "c"), delay=0.0):
+    def __init__(self, classes=("a", "b", "c"), delay=0.0, img_size=8):
         self.classes = dict((c, i) for i, c in enumerate(classes))
         self.delay = delay
         self.batch_sizes = []
+        self.img_size = img_size
 
     def predict(self, images, class_name):
         import time as _t
@@ -222,6 +223,27 @@ def test_micro_batching_stress(rng):
     # Coalescing happened: fewer dispatches than requests.
     assert len(det.batch_sizes) < 48
     assert sum(det.batch_sizes) == 48
+
+
+def test_micro_batching_submit_validates_shape(rng):
+    """A malformed request must fail its OWN caller synchronously at
+    submit(), never reach the batch-time np.stack where the ValueError
+    would be delivered to every unrelated future in the coalescing
+    window."""
+    det = _StubDetector()
+    svc = MicroBatchingService(det, max_batch=8, max_latency_ms=50.0)
+    try:
+        with pytest.raises(ValueError, match=r"\(3, 8, 8\)"):
+            svc.submit(np.zeros((3, 4, 4), np.float32), "a")
+        with pytest.raises(ValueError, match=r"\(3, H, W\)"):
+            svc.submit(np.zeros((3, 8, 8, 1), np.float32), "a")
+        # A well-formed request coalesced after the rejections still works.
+        img = rng.standard_normal((3, 8, 8)).astype(np.float32)
+        amap, _ = svc.submit(img, "a").result(timeout=30)
+        np.testing.assert_allclose(amap, img.mean(axis=0), rtol=1e-5,
+                                   atol=1e-6)
+    finally:
+        svc.close()
 
 
 def test_micro_batching_cancelled_future_keeps_worker(rng):
