@@ -253,7 +253,7 @@ def bench_latency():
     '#'-prefixed diagnostic line. vs_baseline: the reference's fp32 batch-1
     GPU pipeline at the inference-baseline estimate (20 img/s -> 50 ms;
     module docstring — deliberately favorable), ratio = baseline_ms / ours.
-    AACLIP_BENCH_QUANT=int8|int8_attn selects the quantized tier.
+    AACLIP_BENCH_QUANT=int8|int8_attn|int8_mlp selects the quantized tier.
     """
     import os
 
@@ -294,6 +294,32 @@ def bench_latency():
     }))
 
 
+def _sweep_configs(sweep, default_batch, default_pallas):
+    """AACLIP_BENCH_SWEEP -> [(batch, use_pallas)] measurement configs.
+
+    None/'' -> one config from AACLIP_BENCH_BATCH/AACLIP_BENCH_PALLAS;
+    '1' -> the legacy batch x attention-impl grid; a comma list
+    ('16,24,32') -> those batch sizes on the Pallas path only (one compile
+    per batch; the XLA-attention column rarely matters once a tier is
+    chosen). Malformed entries raise, same contract as the other
+    AACLIP_BENCH_* knobs.
+    """
+    if not sweep:
+        return [(default_batch, default_pallas)]
+    if sweep == "1":
+        return [(16, False), (16, True), (32, False), (32, True)]
+    try:
+        batches = [int(b) for b in sweep.split(",")]
+    except ValueError:
+        raise ValueError(
+            f"AACLIP_BENCH_SWEEP must be '1' or a comma list of batch"
+            f" sizes, got {sweep!r}")
+    if any(b <= 0 for b in batches):
+        raise ValueError(
+            f"AACLIP_BENCH_SWEEP batches must be positive, got {sweep!r}")
+    return [(b, True) for b in batches]
+
+
 def main():
     from aa_clip_iqm_tpu.evaluation.predict import make_predict_fn
     from aa_clip_iqm_tpu.loader import (
@@ -318,12 +344,10 @@ def main():
     frozen = quantize_backbone_tier(frozen,
                                     os.environ.get("AACLIP_BENCH_QUANT"))
 
-    configs = []
-    if os.environ.get("AACLIP_BENCH_SWEEP"):
-        configs = [(16, False), (16, True), (32, False), (32, True)]
-    else:
-        configs = [(int(os.environ.get("AACLIP_BENCH_BATCH", 16)),
-                    os.environ.get("AACLIP_BENCH_PALLAS", "1") == "1")]
+    configs = _sweep_configs(
+        os.environ.get("AACLIP_BENCH_SWEEP"),
+        int(os.environ.get("AACLIP_BENCH_BATCH", 16)),
+        os.environ.get("AACLIP_BENCH_PALLAS", "1") == "1")
 
     best = 0.0
     for batch, use_pallas in configs:

@@ -73,7 +73,7 @@ def build_parser():
                         "checkpoint dir (text_adapter.pth / "
                         "image_adapter_N.pth) and import the adapters")
     parser.add_argument("--quantize_backbone", type=str, default=None,
-                        choices=["int8", "int8_attn"],
+                        choices=["int8", "int8_attn", "int8_mlp"],
                         help="int8 frozen-backbone inference tier; "
                         "'int8_attn' quantizes only the attention "
                         "projections and keeps the fused MLP kernel "

@@ -321,7 +321,7 @@ def main(argv=None):
     src.add_argument("--backbone", type=str, default=None)
     src.add_argument("--random_backbone", action="store_true")
     src.add_argument("--quantize_backbone", type=str, default=None,
-                     choices=["int8", "int8_attn"],
+                     choices=["int8", "int8_attn", "int8_mlp"],
                      help="int8 weight-only backbone tier ('int8_attn': "
                      "attention projections only, keeps the fused MLP "
                      "kernel — fastest measured)")

@@ -88,7 +88,7 @@ def build_parser():
                         "configures 0.2 but never activates it — survey Q5; "
                         "off by default for fidelity)")
     parser.add_argument("--quantize_backbone", type=str, default=None,
-                        choices=["int8", "int8_attn"],
+                        choices=["int8", "int8_attn", "int8_mlp"],
                         help="int8-forward training experiment: quantize the "
                         "frozen backbone (STE backward; ~+5%% step "
                         "throughput on v5e, docs/DESIGN.md); 'int8_attn' "

@@ -122,15 +122,23 @@ def _quantize_block_tree(blocks, scope: str = "all"):
     scope: "all" quantizes qkv/out/c_fc/c_proj; "attn" quantizes only the
     attention projections and leaves the MLP in float — that keeps the MLP
     eligible for the fused LN->MLP Pallas kernel (ops/pallas_mlp.py skips
-    quantized weights), stacking the two optimizations.
+    quantized weights), stacking the two optimizations; "mlp" quantizes only
+    c_fc/c_proj (served by the fused int8 LN->MLP kernel) and keeps the
+    attention projections in the compute dtype — the measured XLA int8 dot
+    gives qkv/out no rate advantage on v5e (docs/DESIGN.md), so this scope
+    drops their per-token activation-quant overhead and their quantization
+    error while keeping the kernel that carries the int8 win.
     """
-    quant_mlp = scope == "all"
+    quant_mlp = scope in ("all", "mlp")
+    quant_attn = scope in ("all", "attn")
     mlp = blocks["mlp"]
     return {
         "ln_1": blocks["ln_1"],
         "attn": {
-            "qkv": quantize_linear_params(blocks["attn"]["qkv"]),
-            "out": quantize_linear_params(blocks["attn"]["out"]),
+            "qkv": quantize_linear_params(blocks["attn"]["qkv"])
+            if quant_attn else blocks["attn"]["qkv"],
+            "out": quantize_linear_params(blocks["attn"]["out"])
+            if quant_attn else blocks["attn"]["out"],
         },
         "ln_2": blocks["ln_2"],
         "mlp": {
@@ -145,19 +153,21 @@ def _quantize_block_tree(blocks, scope: str = "all"):
 def quantize_backbone_tier(frozen, tier):
     """Tier-string front-end shared by every CLI/env/serving entry point.
 
-    tier: None / "" (no-op), "int8" (all block matmuls) or "int8_attn"
-    (qkv/out only; the MLP keeps the fused Pallas kernel). Anything else —
-    e.g. a typo'd AACLIP_BENCH_QUANT=int8-attn — raises instead of silently
-    running the fp tier under a quantized label.
+    tier: None / "" (no-op), "int8" (all block matmuls), "int8_attn"
+    (qkv/out only; the MLP keeps the fused fp Pallas kernel) or "int8_mlp"
+    (c_fc/c_proj only, through the fused int8 kernel; attention projections
+    stay in the compute dtype). Anything else — e.g. a typo'd
+    AACLIP_BENCH_QUANT=int8-attn — raises instead of silently running the
+    fp tier under a quantized label.
     """
     if tier in (None, ""):
         return frozen
-    if tier not in ("int8", "int8_attn"):
+    scopes = {"int8": "all", "int8_attn": "attn", "int8_mlp": "mlp"}
+    if tier not in scopes:
         raise ValueError(
-            f"unknown quantization tier {tier!r}; expected 'int8' or"
-            " 'int8_attn'")
-    return quantize_backbone_int8(
-        frozen, scope="attn" if tier == "int8_attn" else "all")
+            f"unknown quantization tier {tier!r}; expected 'int8',"
+            " 'int8_attn' or 'int8_mlp'")
+    return quantize_backbone_int8(frozen, scope=scopes[tier])
 
 
 def quantize_backbone_int8(frozen, scope: str = "all"):
@@ -165,8 +175,9 @@ def quantize_backbone_int8(frozen, scope: str = "all"):
     int8. Everything else (visual embeddings/LNs/proj, the whole text tower,
     logit_scale) is shared by reference with the input pytree.
 
-    scope: "all" (every block matmul) or "attn" (qkv/out only — the MLP
-    stays float and keeps the fused LN->MLP Pallas kernel; see
+    scope: "all" (every block matmul), "attn" (qkv/out only — the MLP
+    stays float and keeps the fused LN->MLP Pallas kernel) or "mlp"
+    (c_fc/c_proj only — attention projections stay float; see
     _quantize_block_tree).
 
     The quantized pytree is a drop-in `frozen` argument for every inference
@@ -175,8 +186,9 @@ def quantize_backbone_int8(frozen, scope: str = "all"):
     `parallel.mesh.shard_backbone` (the TP sharding spec describes the fp
     layout) or to a gradient path.
     """
-    if scope not in ("all", "attn"):
-        raise ValueError(f"scope must be 'all' or 'attn', got {scope!r}")
+    if scope not in ("all", "attn", "mlp"):
+        raise ValueError(
+            f"scope must be 'all', 'attn' or 'mlp', got {scope!r}")
     visual = dict(frozen["visual"])
     if "blocks" not in visual:
         raise ValueError("int8 tier supports the ViT tower only "

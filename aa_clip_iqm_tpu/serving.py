@@ -82,7 +82,9 @@ class AnomalyDetector:
         if quantize is not None:
             # Serve-time int8 backbone tier (numerics bounds in
             # docs/DESIGN.md). "int8_attn" quantizes only the attention
-            # projections so the MLP keeps the fused Pallas kernel. Anchors
+            # projections so the MLP keeps the fused fp Pallas kernel;
+            # "int8_mlp" quantizes only the MLP (fused int8 kernel) and
+            # keeps the attention projections in compute dtype. Anchors
             # are computed BELOW with the full-precision text tower either
             # way (the quantized pytree shares it), so only the visual
             # block matmuls change.

@@ -97,3 +97,21 @@ def test_bench_rejects_unknown_mode(monkeypatch):
     monkeypatch.setenv("AACLIP_BENCH_MODE", "latnecy")
     with pytest.raises(ValueError, match="AACLIP_BENCH_MODE"):
         bench.main_dispatch()
+
+
+def test_bench_sweep_configs():
+    """AACLIP_BENCH_SWEEP parsing: unset -> the single env-driven config,
+    '1' -> the legacy grid, a comma list -> those batches on the Pallas
+    path, malformed/non-positive -> ValueError (never a silent fallback)."""
+    from aa_clip_iqm_tpu.cli.bench import _sweep_configs
+
+    assert _sweep_configs(None, 16, True) == [(16, True)]
+    assert _sweep_configs("", 8, False) == [(8, False)]
+    assert _sweep_configs("1", 16, True) == [
+        (16, False), (16, True), (32, False), (32, True)]
+    assert _sweep_configs("16,24,32", 16, True) == [
+        (16, True), (24, True), (32, True)]
+    with pytest.raises(ValueError, match="AACLIP_BENCH_SWEEP"):
+        _sweep_configs("16,fast", 16, True)
+    with pytest.raises(ValueError, match="positive"):
+        _sweep_configs("16,0", 16, True)

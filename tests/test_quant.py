@@ -110,7 +110,30 @@ def test_quantize_scope_attn(model, rng):
     import pytest
 
     with pytest.raises(ValueError):
-        quantize_backbone_int8(frozen, scope="mlp")
+        quantize_backbone_int8(frozen, scope="bogus")
+
+
+def test_quantize_scope_mlp(model, rng):
+    """scope='mlp' quantizes c_fc/c_proj only (served by the fused int8
+    LN->MLP kernel); the attention projections keep the fp path — the
+    measured XLA int8 dot gives qkv/out no rate advantage on v5e
+    (docs/DESIGN.md), so this scope drops their activation-quant overhead.
+    Forward still tracks fp."""
+    cfg, frozen, _ = model
+    qfrozen = quantize_backbone_int8(frozen, scope="mlp")
+    blocks = qfrozen["visual"]["blocks"]
+    assert "w_q" in blocks["mlp"]["c_fc"] and "w_q" in blocks["mlp"]["c_proj"]
+    assert "w_q" not in blocks["attn"]["qkv"]
+    assert blocks["attn"]["out"] is frozen["visual"]["blocks"]["attn"]["out"]
+
+    images = jnp.asarray(
+        rng.standard_normal((2, 3, IMG, IMG)).astype(np.float32))
+    pooled, _, _ = vision_forward(frozen["visual"], cfg.clip.vision, images)
+    pooled_q, _, _ = vision_forward(qfrozen["visual"], cfg.clip.vision,
+                                    images)
+    corr = np.corrcoef(np.asarray(pooled).ravel(),
+                       np.asarray(pooled_q).ravel())[0, 1]
+    assert corr > 0.995, corr
 
 
 def test_quantize_backbone_tier_frontend(model):
@@ -129,6 +152,9 @@ def test_quantize_backbone_tier_frontend(model):
     q_attn = quantize_backbone_tier(frozen, "int8_attn")
     assert "w_q" in q_attn["visual"]["blocks"]["attn"]["qkv"]
     assert "w_q" not in q_attn["visual"]["blocks"]["mlp"]["c_fc"]
+    q_mlp = quantize_backbone_tier(frozen, "int8_mlp")
+    assert "w_q" in q_mlp["visual"]["blocks"]["mlp"]["c_fc"]
+    assert "w_q" not in q_mlp["visual"]["blocks"]["attn"]["qkv"]
     with pytest.raises(ValueError, match="int8-attn"):
         quantize_backbone_tier(frozen, "int8-attn")
 

@@ -37,7 +37,7 @@ def main():
     p.add_argument("--batches", type=int, nargs="+", default=[1, 8, 16])
     p.add_argument("--no_pallas", action="store_true")
     p.add_argument("--quantize_backbone", type=str, default=None,
-                   choices=("int8", "int8_attn"),
+                   choices=("int8", "int8_attn", "int8_mlp"),
                    help="export the quantized frozen-backbone tier "
                         "(ops/quant.py; int8 measures +20%% img/s @518 — "
                         "docs/DESIGN.md)")

@@ -78,7 +78,7 @@ def build_parser():
                    choices=["bfloat16", "float32"])
     p.add_argument("--use_pallas", action="store_true")
     p.add_argument("--quantize_backbone", default=None,
-                   choices=["int8", "int8_attn"],
+                   choices=["int8", "int8_attn", "int8_mlp"],
                    help="evaluate an int8 inference tier instead of fp — "
                    "measures the tier's AUROC delta against the same anchor "
                    "table (docs/DESIGN.md)")
