@@ -322,9 +322,9 @@ def main(argv=None):
     src.add_argument("--random_backbone", action="store_true")
     src.add_argument("--quantize_backbone", type=str, default=None,
                      choices=["int8", "int8_attn", "int8_mlp"],
-                     help="int8 weight-only backbone tier ('int8_attn': "
-                     "attention projections only, keeps the fused MLP "
-                     "kernel — fastest measured)")
+                     help="int8 weight-only backbone tier ('int8' — all "
+                     "block matmuls via the fused int8 MLP kernel — is the "
+                     "fastest measured; docs/DESIGN.md)")
     src.add_argument("--compute_dtype", type=str, default="bfloat16",
                      choices=["bfloat16", "float32"])
     src.add_argument("--no_pallas", action="store_true")
