@@ -141,3 +141,32 @@ def test_parity_run_dry_run(tmp_path):
         repq = json.load(f)
     assert "quantized backbone (int8)" in repq["weights"]
     assert np.isfinite(repq["datasets"]["Synth"]["average"]["pixel AUC"])
+
+
+def test_shipped_anchor_table_schema():
+    """docs/expected_anchors.json: the parity_run default anchor table —
+    valid schema, provenance clearly labeled unverified, numeric metrics."""
+    path = os.path.join(os.path.dirname(__file__), "..", "docs",
+                        "expected_anchors.json")
+    with open(path) as f:
+        table = json.load(f)
+    prov = table["_provenance"]
+    assert "UNVERIFIED" in prov["status"]
+    assert "2503.06661" in prov["source"]
+    metrics = {"pixel AUC", "pixel AP", "image AUC", "image AP"}
+    datasets = {k: v for k, v in table.items() if not k.startswith("_")}
+    assert set(datasets) == {"MVTec", "VisA"}
+    for name, row in datasets.items():
+        assert row, name
+        for metric, value in row.items():
+            assert metric in metrics, (name, metric)
+            assert isinstance(value, (int, float)) and 0 < value <= 100
+
+
+def test_parity_run_default_anchor_table_is_shipped_file():
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import parity_run
+
+    args = parity_run.build_parser().parse_args([])
+    assert os.path.isfile(args.anchor_table)
+    assert os.path.basename(args.anchor_table) == "expected_anchors.json"

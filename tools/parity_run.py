@@ -20,12 +20,14 @@ Modes for the adaptation weights (mutually exclusive):
   neither                zero-shot (raw CLIP anchors, untrained adapters)
 
 The anchor table is a JSON file {dataset: {metric: value}} with metrics from
-{"pixel AUC", "pixel AP", "image AUC", "image AP"} — fill it from the
-AA-CLIP paper tables (arXiv 2503.06661) or from a run of the PyTorch
-reference; this repo deliberately ships no transcribed numbers
-(BASELINE.md: the reference publishes none in-repo). Each dataset's Average
-row is diffed against it; any |pixel AUC delta| > --budget (default 0.2pt,
-the north-star tolerance in BASELINE.json) fails the run with exit code 1.
+{"pixel AUC", "pixel AP", "image AUC", "image AP"} (keys starting with "_"
+are ignored). The default is the shipped docs/expected_anchors.json — an
+UNVERIFIED transcription of the AA-CLIP paper's headline rows (see its
+_provenance block; re-check against arXiv 2503.06661 or an executed run of
+the PyTorch reference before treating a FAIL as a regression). Each
+dataset's Average row is diffed against it; any |pixel AUC delta| > --budget
+(default 0.2pt, the north-star tolerance in BASELINE.json) fails the run
+with exit code 1. Pass --anchor_table "" to skip delta evaluation.
 
 Outputs under --out:
   {dataset}.json      per-class rows + Average
@@ -67,8 +69,13 @@ def build_parser():
                    help="our training save_path (orbax checkpoints)")
     p.add_argument("--reference_ckpt", default=None,
                    help="PyTorch-reference checkpoint dir (.pth adapters)")
-    p.add_argument("--anchor_table", default=None,
-                   help="JSON {dataset: {metric: expected}} to diff against")
+    p.add_argument(
+        "--anchor_table",
+        default=os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "..", "docs", "expected_anchors.json"),
+        help="JSON {dataset: {metric: expected}} to diff against; defaults "
+        "to the shipped docs/expected_anchors.json (UNVERIFIED paper "
+        "transcription — see its _provenance block). Pass '' to skip.")
     p.add_argument("--budget", type=float, default=0.2,
                    help="max |pixel AUC delta| (points) before FAIL")
     p.add_argument("--out", default="parity_report")
@@ -179,9 +186,18 @@ def main(argv=None):
         weights_mode += f" + quantized backbone ({args.quantize_backbone})"
 
     anchor_table = {}
-    if args.anchor_table:
+    if args.anchor_table and os.path.isfile(args.anchor_table):
         with open(args.anchor_table) as f:
             anchor_table = json.load(f)
+        prov = anchor_table.get("_provenance", {})
+        if isinstance(prov, dict) and "UNVERIFIED" in str(
+                prov.get("status", "")):
+            logger.warning("anchor table %s is an UNVERIFIED transcription "
+                           "— see its _provenance block before treating a "
+                           "FAIL as a regression", args.anchor_table)
+    elif args.anchor_table:
+        logger.warning("anchor table %s not found; deltas not evaluated",
+                       args.anchor_table)
 
     summary = {"weights": weights_mode, "budget_pt": args.budget,
                "datasets": {}}
