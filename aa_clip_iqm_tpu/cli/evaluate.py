@@ -139,7 +139,8 @@ def main():
                                      args.dataset, adapted=adapt_text,
                                      compute_dtype=dtype)
     datasets = get_dataset(args.dataset, args.img_size, None, -1, "test",
-                           logger=logger, metadata_root=args.metadata_root)
+                           logger=logger, metadata_root=args.metadata_root,
+                           device_normalize=True)
 
     mesh = None
     if args.data_parallel and jax.device_count() > 1:

@@ -323,7 +323,8 @@ def main(argv=None):
     src.add_argument("--quantize_backbone", type=str, default=None,
                      choices=["int8", "int8_attn", "int8_mlp"],
                      help="int8 weight-only backbone tier ('int8' — all "
-                     "block matmuls via the fused int8 MLP kernel — is the "
+                     "block matmuls in int8: the MLP pair via the fused "
+                     "int8 kernel, qkv/out via the XLA int8 path — is the "
                      "fastest measured; docs/DESIGN.md)")
     src.add_argument("--compute_dtype", type=str, default="bfloat16",
                      choices=["bfloat16", "float32"])

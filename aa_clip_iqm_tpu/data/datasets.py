@@ -104,6 +104,16 @@ def normalize_clip(img01: np.ndarray) -> np.ndarray:
     return (img01 - _MEAN) / _STD
 
 
+def _load_image_u8(path: str, img_size: int) -> np.ndarray:
+    """RGB bicubic resize -> CHW uint8 (the quantized pixels the float path
+    divides by 255 — PIL's resize output IS uint8, so this is lossless).
+    Transfer format for device-side normalization: 4x less host->device
+    bandwidth than normalized float32, which dominates end-to-end eval on
+    bandwidth-limited links (~150 MB/s here: 154 MB/sweep -> 38 MB)."""
+    img01 = _load_image(path, img_size)  # CHW float32, values k/255 exactly
+    return np.rint(img01 * 255.0).astype(np.uint8)
+
+
 def _pil_gray(img_u8: np.ndarray) -> np.ndarray:
     """PIL Image.convert('L') exact: rounded 16.16 fixed-point ITU-R 601-2
     luma — (19595 R + 38470 G + 7471 B + 0x8000) >> 16 (Pillow convert.c
@@ -288,10 +298,16 @@ class SingleClassTestDataset:
     """Reference BaseSingleClassDataset (dataset/__init__.py:124-208)."""
 
     def __init__(self, data_path: str, meta_path: str, img_size: int,
-                 class_name: str, logger=None):
+                 class_name: str, logger=None, device_normalize: bool = False):
+        # device_normalize: emit CHW uint8 images (the lossless quantized
+        # resize output) for device-side CLIP normalization instead of
+        # host-normalized float32 — 4x less host->device transfer; the
+        # predict program (evaluation.predict.make_predict_fn) normalizes
+        # uint8 inputs on device with bit-identical fp32 math.
         self.data_path = data_path
         self.img_size = img_size
         self.class_name = class_name
+        self.device_normalize = device_normalize
         self.meta = load_metadata(meta_path, class_name=class_name)
         if logger:
             logger.info(f"Class name: {class_name}")
@@ -303,9 +319,11 @@ class SingleClassTestDataset:
 
     def __getitem__(self, idx: int) -> dict:
         meta = self.meta[idx]
-        img = normalize_clip(
-            _load_image(os.path.join(self.data_path, meta["image_path"]),
-                        self.img_size))
+        path = os.path.join(self.data_path, meta["image_path"])
+        if self.device_normalize:
+            img = _load_image_u8(path, self.img_size)
+        else:
+            img = normalize_clip(_load_image(path, self.img_size))
         if meta["label"]:
             mask = _load_mask(os.path.join(self.data_path, meta["mask_path"]),
                               self.img_size)
@@ -419,8 +437,12 @@ def collate(items: List[dict]) -> dict:
 
 def get_dataset(dataset_name: str, img_size: int, training_mode: Optional[str],
                 shot: int = -1, stage: str = "train", logger=None,
-                metadata_root: Optional[str] = None, seed: int = 111):
-    """Dispatcher with reference semantics (dataset/__init__.py:211-270)."""
+                metadata_root: Optional[str] = None, seed: int = 111,
+                device_normalize: bool = False):
+    """Dispatcher with reference semantics (dataset/__init__.py:211-270).
+
+    device_normalize (test/visualize stages): uint8 images for device-side
+    CLIP normalization — see SingleClassTestDataset."""
     if dataset_name not in DATA_PATH:
         raise KeyError(
             f"Dataset {dataset_name!r} not found; available: "
@@ -441,7 +463,8 @@ def get_dataset(dataset_name: str, img_size: int, training_mode: Optional[str],
         for c in CLASS_NAMES[dataset_name]:
             ds = SingleClassTestDataset(
                 DATA_PATH[dataset_name], meta, img_size, c,
-                logger=logger if stage == "test" else None)
+                logger=logger if stage == "test" else None,
+                device_normalize=device_normalize)
             if len(ds) == 0:
                 # Partial datasets (e.g. a subset download) just skip the
                 # absent classes instead of failing the whole sweep.

@@ -21,6 +21,17 @@ from ..ops.metrics import metrics_eval
 from . import scoring
 
 
+def _device_normalize(images_u8):
+    """CLIP normalization of CHW uint8 images on device — same op order as
+    data.datasets.normalize_clip ((u8/255 - mean)/std in fp32), so the result
+    is bit-identical to host-normalized float32 input."""
+    from ..data.registry import IMAGE_MEAN, IMAGE_STD
+
+    mean = jnp.asarray(IMAGE_MEAN, jnp.float32).reshape(1, 3, 1, 1)
+    std = jnp.asarray(IMAGE_STD, jnp.float32).reshape(1, 3, 1, 1)
+    return (images_u8.astype(jnp.float32) / 255.0 - mean) / std
+
+
 def make_predict_fn(cfg: ModelConfig, img_size: int, domain: str,
                     use_iqm: bool = True, compute_dtype=jnp.float32,
                     use_pallas: bool = False, text_weight: float = 0.6,
@@ -43,6 +54,12 @@ def make_predict_fn(cfg: ModelConfig, img_size: int, domain: str,
                 else scoring.image_logit_reference_eval)
 
     def predict(frozen, trainable, images, anchors):
+        # uint8 input: the caller shipped raw (quantized) pixels — apply the
+        # CLIP normalization here, on device, in fp32 (bit-identical to the
+        # host normalize_clip path; 4x less host->device transfer). dtype is
+        # static under jit so this branch costs nothing.
+        if images.dtype == jnp.uint8:
+            images = _device_normalize(images)
         out = adapters_mod.encode_image_adapted(
             frozen, trainable, cfg, images,
             text_anchors=anchors if use_iqm else None,
@@ -77,28 +94,44 @@ def make_predict_fn(cfg: ModelConfig, img_size: int, domain: str,
     return jax.jit(predict)
 
 
+def _tail_buckets(batch_size: int):
+    """Compile-once bucket ladder for ragged tail batches: powers of two
+    below batch_size, then batch_size itself (same idea as the serving
+    ladder, serving.DEFAULT_BATCH_BUCKETS)."""
+    ladder = [b for b in (1, 2, 4, 8, 16, 32, 64, 128) if b < batch_size]
+    return tuple(ladder) + (batch_size,)
+
+
 def predict_class(predict_fn, frozen, trainable, dataset, class_anchor,
                   batch_size: int, device_resident: bool = False,
-                  image_score_mode: str = "fixed"):
+                  image_score_mode: str = "fixed", buckets=None):
     """Run a per-class test dataset through the jitted predict fn.
 
-    Pads tail batches to the fixed batch size (static shapes — one
-    compilation) and strips padding. With ``device_resident`` the anomaly
-    maps and masks stay on device (for on-device metrics; only the tiny
-    image logits are fetched) — on remote-attached accelerators the map
-    fetch otherwise dominates eval wall-clock.
+    Full batches run at the fixed batch size; the ragged tail batch is
+    zero-padded only up to the smallest power-of-two bucket that fits
+    (``_tail_buckets``) instead of the full batch size — a 33-image class at
+    batch 32 runs 32+1 images of compute, not 64, at a bounded number of
+    compiled shapes. With ``device_resident`` the anomaly maps and masks
+    stay on device (for on-device metrics; only the tiny image logits are
+    fetched) — on remote-attached accelerators the map fetch otherwise
+    dominates eval wall-clock.
 
     ``image_score_mode`` must echo the mode ``predict_fn`` was built with:
     "reference_eval" scores the batch from sample index 1 (survey Q11), so a
     tail batch with a single valid sample would silently score from a
     zero-padded row — the reference's executed eval would crash there
     (``pred[:, 1]`` on a size-1 batch); we raise with the same meaning.
+
+    ``buckets``: override the tail ladder — pass ``(batch_size,)`` to pad
+    every tail to the full batch (required when predict_fn shards the batch
+    axis over a mesh, where every shape must divide the data axis).
     """
     from ..data.datasets import prefetch
 
     masks, labels, maps, image_scores, file_names = [], [], [], [], []
-    anchor_b = jnp.broadcast_to(class_anchor[None], (batch_size,) + class_anchor.shape)
-    for batch in prefetch(dataset.batches(batch_size, pad_to_batch=True)):
+    if buckets is None:
+        buckets = _tail_buckets(batch_size)
+    for batch in prefetch(dataset.batches(batch_size)):
         n = batch["n_valid"]
         if image_score_mode == "reference_eval" and n < 2:
             raise ValueError(
@@ -107,8 +140,16 @@ def predict_class(predict_fn, frozen, trainable, dataset, class_anchor,
                 "eval indexes sample 1 and would crash here too. Use "
                 "--image_score_mode fixed or a batch size that avoids "
                 "1-sample tail batches.")
+        bucket = next(b for b in buckets if b >= n)
+        images = batch["image"]
+        if bucket != n:
+            images = np.concatenate(
+                [images, np.zeros((bucket - n,) + images.shape[1:],
+                                  images.dtype)], axis=0)
+        anchor_b = jnp.broadcast_to(class_anchor[None],
+                                    (bucket,) + class_anchor.shape)
         final_map, img_logit = predict_fn(
-            frozen, trainable, jnp.asarray(batch["image"]), anchor_b)
+            frozen, trainable, jnp.asarray(images), anchor_b)
         if device_resident:
             maps.append(final_map[:n])
             masks.append(jnp.asarray(batch["mask"][:n, 0] != 0))
@@ -196,7 +237,8 @@ def evaluate_dataset(frozen, trainable, model_cfg: ModelConfig,
         preds = predict_class(predict_fn, frozen, trainable, dataset,
                               anchors[class_name], eval_cfg.batch_size,
                               device_resident=device_resident,
-                              image_score_mode=eval_cfg.image_score_mode)
+                              image_score_mode=eval_cfg.image_score_mode,
+                              buckets=(eval_cfg.batch_size,) if mesh else None)
         if device_resident:
             row = class_metrics_device(preds, class_name, domain)
         else:

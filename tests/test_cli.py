@@ -101,16 +101,24 @@ def test_bench_rejects_unknown_mode(monkeypatch):
 
 def test_bench_sweep_configs():
     """AACLIP_BENCH_SWEEP parsing: unset -> the single env-driven config,
-    '1' -> the legacy grid, a comma list -> those batches on the Pallas
-    path, malformed/non-positive -> ValueError (never a silent fallback)."""
+    'grid' (legacy alias '1') -> the batch x attention grid, a comma list ->
+    those batches honoring the AACLIP_BENCH_PALLAS default (ADVICE r3: a
+    comma list must not silently override PALLAS=0), malformed/non-positive
+    -> ValueError (never a silent fallback)."""
     from aa_clip_iqm_tpu.cli.bench import _sweep_configs
 
     assert _sweep_configs(None, 16, True) == [(16, True)]
     assert _sweep_configs("", 8, False) == [(8, False)]
-    assert _sweep_configs("1", 16, True) == [
-        (16, False), (16, True), (32, False), (32, True)]
+    grid = [(16, False), (16, True), (32, False), (32, True)]
+    assert _sweep_configs("grid", 16, True) == grid
+    assert _sweep_configs("1", 16, True) == grid  # legacy alias
     assert _sweep_configs("16,24,32", 16, True) == [
         (16, True), (24, True), (32, True)]
+    # comma list honors an explicit AACLIP_BENCH_PALLAS=0
+    assert _sweep_configs("16,24", 16, False) == [(16, False), (24, False)]
+    # batch-1 measurements use AACLIP_BENCH_BATCH=1 without SWEEP ('1' stays
+    # the legacy grid alias); '2,1' style lists still include batch 1
+    assert _sweep_configs("2,1", 16, True) == [(2, True), (1, True)]
     with pytest.raises(ValueError, match="AACLIP_BENCH_SWEEP"):
         _sweep_configs("16,fast", 16, True)
     with pytest.raises(ValueError, match="positive"):

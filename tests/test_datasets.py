@@ -128,3 +128,27 @@ def test_data_workers_parsing(monkeypatch):
     assert datasets._data_workers() == 1
     monkeypatch.setenv("AACLIP_DATA_WORKERS", "6")
     assert datasets._data_workers() == 6
+
+
+def test_device_normalize_uint8_path_bit_identical(synth_root):
+    """device_normalize mode: uint8 transfer + on-device CLIP normalization
+    must reproduce the host-normalized float path exactly (the quantized
+    resize output is lossless — PIL's resize emits uint8)."""
+    import jax.numpy as jnp
+
+    from aa_clip_iqm_tpu.evaluation.predict import _device_normalize
+
+    data_path, meta_path = synth_root
+    host = datasets.SingleClassTestDataset(data_path, meta_path, img_size=24,
+                                           class_name="widget")
+    dev = datasets.SingleClassTestDataset(data_path, meta_path, img_size=24,
+                                          class_name="widget",
+                                          device_normalize=True)
+    for i in range(min(len(host), 3)):
+        h, d = host[i], dev[i]
+        assert d["image"].dtype == np.uint8
+        normalized = np.asarray(_device_normalize(
+            jnp.asarray(d["image"][None])))[0]
+        np.testing.assert_allclose(normalized, h["image"], rtol=0, atol=2e-7)
+        np.testing.assert_array_equal(d["mask"], h["mask"])
+        assert d["file_name"] == h["file_name"]

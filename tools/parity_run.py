@@ -113,7 +113,8 @@ def run_dataset(args, dataset, frozen, trainable, model_cfg, adapt_text,
     anchors = compute_frozen_anchors(frozen, trainable, model_cfg, dataset,
                                      adapted=adapt_text, compute_dtype=dtype)
     datasets = get_dataset(dataset, args.img_size, None, -1, "test",
-                           logger=logger, metadata_root=args.metadata_root)
+                           logger=logger, metadata_root=args.metadata_root,
+                           device_normalize=True)
     eval_cfg = EvalConfig(
         dataset=dataset, img_size=args.img_size,
         batch_size=args.image_batch_size, seed=args.seed,
