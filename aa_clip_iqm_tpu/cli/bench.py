@@ -100,9 +100,11 @@ def bench_train():
     # Opt-in int8-forward training: STE backward through dequantized
     # weights (ops/quant.py); adapters still train in fp. Same tier
     # strings as the inference/stage-1 benches; typos raise.
-    from aa_clip_iqm_tpu.ops.quant import quantize_backbone_tier
+    from aa_clip_iqm_tpu.ops.quant import quantize_backbone_auto
 
-    frozen = quantize_backbone_tier(frozen, os.environ.get("AACLIP_BENCH_QUANT"))
+    frozen = quantize_backbone_auto(frozen,
+                                    os.environ.get("AACLIP_BENCH_QUANT"),
+                                    cfg=cfg)
     trainable = init_trainable(cfg)
     train_cfg = TrainConfig(img_size=img, compute_dtype="bfloat16")
     tx = optim.stage2_optimizer(trainable, train_cfg.image_lr, 100)
@@ -187,10 +189,10 @@ def bench_stage1():
     # step below keeps the fp pytree (the tier front-end only touches
     # visual blocks anyway; passing the fp `frozen` to step_fn keeps this
     # explicit).
-    from aa_clip_iqm_tpu.ops.quant import quantize_backbone_tier
+    from aa_clip_iqm_tpu.ops.quant import quantize_backbone_auto
 
-    frozen_vis = quantize_backbone_tier(
-        frozen, os.environ.get("AACLIP_BENCH_QUANT"))
+    frozen_vis = quantize_backbone_auto(
+        frozen, os.environ.get("AACLIP_BENCH_QUANT"), cfg=cfg)
     trainable = init_trainable(cfg)
     train_cfg = TrainConfig(img_size=img, compute_dtype="bfloat16",
                             dataset="MVTec")
@@ -270,15 +272,15 @@ def bench_eval():
         init_trainable,
         load_frozen_backbone,
     )
-    from aa_clip_iqm_tpu.ops.quant import quantize_backbone_tier
+    from aa_clip_iqm_tpu.ops.quant import quantize_backbone_auto
     from aa_clip_iqm_tpu.train.driver import compute_frozen_anchors
 
     img = 518
     batch = int(os.environ.get("AACLIP_BENCH_BATCH", 16))
     cfg = build_model_config(img_size=img)
-    frozen = quantize_backbone_tier(
+    frozen = quantize_backbone_auto(
         load_frozen_backbone(cfg, allow_random=True),
-        os.environ.get("AACLIP_BENCH_QUANT"))
+        os.environ.get("AACLIP_BENCH_QUANT"), cfg=cfg)
     trainable = init_trainable(cfg)
 
     root = tempfile.mkdtemp(prefix="aaclip_bench_eval_")
@@ -416,12 +418,15 @@ def main():
 
     # Int8 frozen-backbone tier (ops/quant.py); "int8_attn" quantizes
     # only qkv/out so the MLP keeps the fused Pallas kernel — the two
-    # optimizations stack. Numerics bounded in tests/test_quant.py +
-    # docs/DESIGN.md. Typo'd tiers raise instead of silently running fp.
-    from aa_clip_iqm_tpu.ops.quant import quantize_backbone_tier
+    # optimizations stack; a "+smooth" suffix adds SmoothQuant outlier
+    # migration (calibrated on a seeded random batch here). Numerics
+    # bounded in tests/test_quant.py + docs/DESIGN.md. Typo'd tiers raise
+    # instead of silently running fp.
+    from aa_clip_iqm_tpu.ops.quant import quantize_backbone_auto
 
-    frozen = quantize_backbone_tier(frozen,
-                                    os.environ.get("AACLIP_BENCH_QUANT"))
+    frozen = quantize_backbone_auto(frozen,
+                                    os.environ.get("AACLIP_BENCH_QUANT"),
+                                    cfg=cfg)
 
     configs = _sweep_configs(
         os.environ.get("AACLIP_BENCH_SWEEP"),

@@ -73,7 +73,8 @@ def build_parser():
                         "checkpoint dir (text_adapter.pth / "
                         "image_adapter_N.pth) and import the adapters")
     parser.add_argument("--quantize_backbone", type=str, default=None,
-                        choices=["int8", "int8_attn", "int8_mlp"],
+                        choices=["int8", "int8_attn", "int8_mlp", "int8+smooth",
+                                  "int8_attn+smooth", "int8_mlp+smooth"],
                         help="int8 frozen-backbone inference tier; "
                         "'int8_attn' quantizes only the attention "
                         "projections and keeps the fused MLP kernel "
@@ -103,9 +104,10 @@ def main():
     frozen = load_frozen_backbone(model_cfg, args.backbone,
                                   allow_random=args.random_backbone)
     if args.quantize_backbone:
-        from aa_clip_iqm_tpu.ops.quant import quantize_backbone_tier
+        from aa_clip_iqm_tpu.ops.quant import quantize_backbone_auto
 
-        frozen = quantize_backbone_tier(frozen, args.quantize_backbone)
+        frozen = quantize_backbone_auto(frozen, args.quantize_backbone,
+                                        cfg=model_cfg)
         logger.info("frozen backbone quantized (tier=%s)",
                     args.quantize_backbone)
     trainable = init_trainable(model_cfg, seed=args.seed)

@@ -321,7 +321,8 @@ def main(argv=None):
     src.add_argument("--backbone", type=str, default=None)
     src.add_argument("--random_backbone", action="store_true")
     src.add_argument("--quantize_backbone", type=str, default=None,
-                     choices=["int8", "int8_attn", "int8_mlp"],
+                     choices=["int8", "int8_attn", "int8_mlp", "int8+smooth",
+                         "int8_attn+smooth", "int8_mlp+smooth"],
                      help="int8 weight-only backbone tier ('int8' — all "
                      "block matmuls in int8: the MLP pair via the fused "
                      "int8 kernel, qkv/out via the XLA int8 path — is the "

@@ -88,7 +88,8 @@ def build_parser():
                         "configures 0.2 but never activates it — survey Q5; "
                         "off by default for fidelity)")
     parser.add_argument("--quantize_backbone", type=str, default=None,
-                        choices=["int8", "int8_attn", "int8_mlp"],
+                        choices=["int8", "int8_attn", "int8_mlp", "int8+smooth",
+                                  "int8_attn+smooth", "int8_mlp+smooth"],
                         help="int8-forward training experiment: quantize the "
                         "frozen backbone (STE backward; ~+5%% step "
                         "throughput on v5e, docs/DESIGN.md); 'int8_attn' "
@@ -138,9 +139,10 @@ def main():
     frozen = load_frozen_backbone(model_cfg, args.backbone,
                                   allow_random=args.random_backbone)
     if args.quantize_backbone:
-        from aa_clip_iqm_tpu.ops.quant import quantize_backbone_tier
+        from aa_clip_iqm_tpu.ops.quant import quantize_backbone_auto
 
-        frozen = quantize_backbone_tier(frozen, args.quantize_backbone)
+        frozen = quantize_backbone_auto(frozen, args.quantize_backbone,
+                                        cfg=model_cfg)
         logger.info("frozen backbone quantized (STE backward, tier=%s)",
                     args.quantize_backbone)
     trainable = init_trainable(model_cfg, seed=args.seed)

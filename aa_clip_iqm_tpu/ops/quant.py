@@ -150,24 +150,195 @@ def _quantize_block_tree(blocks, scope: str = "all"):
     }
 
 
-def quantize_backbone_tier(frozen, tier):
+def calibrate_ln_amax(visual, vision_cfg, images, act_name: str = "gelu",
+                      adapters=None, adapter_weight: float = 0.0,
+                      adapt_until: int = 0, compute_dtype=jnp.float32):
+    """Per-layer, per-channel amax of the post-LN activations — the inputs
+    of the two LN-fed quantized matmuls (qkv after ln_1, c_fc after ln_2) —
+    over a calibration batch, on the PLAIN tower the predict pipeline runs
+    (no surgery: eval builds no v-v model, reference test_last.py:210-228;
+    residual adapters included when given, mirroring encode_image_adapted).
+
+    Returns {"qkv": (layers, width), "c_fc": (layers, width)} float32.
+    Final-state parity with models.clip.vision_forward is pinned by test
+    (tests/test_quant.py) so this forward cannot drift from the real one.
+    """
+    from ..models import clip as clip_mod
+    from . import attention as attn_ops
+    from .layers import (
+        ACTIVATIONS,
+        layer_norm,
+        mlp_block,
+        norm_preserving_blend,
+        simple_adapter,
+    )
+
+    act = ACTIVATIONS[act_name]
+
+    def stats_forward(images):
+        x = clip_mod.patchify(visual, images.astype(compute_dtype),
+                              vision_cfg.patch_size)
+        b = x.shape[0]
+        cls = jnp.broadcast_to(
+            visual["class_embedding"].astype(compute_dtype),
+            (b, 1, vision_cfg.width))
+        x = jnp.concatenate([cls, x], axis=1)
+        x = x + visual["positional_embedding"].astype(compute_dtype)
+        x = layer_norm(visual["ln_pre"], x)
+
+        def body(adapted):
+            def f(x, layer_params):
+                block = layer_params[0] if adapted else layer_params
+                h1 = layer_norm(block["ln_1"], x)
+                s1 = jnp.max(jnp.abs(h1.astype(jnp.float32)), axis=(0, 1))
+                x = x + attn_ops.mha(block["attn"], h1, vision_cfg.heads)
+                h2 = layer_norm(block["ln_2"], x)
+                s2 = jnp.max(jnp.abs(h2.astype(jnp.float32)), axis=(0, 1))
+                x = x + mlp_block(block["mlp"], h2, act)
+                if adapted:
+                    x = norm_preserving_blend(
+                        x, simple_adapter(layer_params[1], x), adapter_weight)
+                return x, (s1, s2)
+            return f
+
+        s1s, s2s = [], []
+        for start, stop in clip_mod._segments(vision_cfg.layers,
+                                              [adapt_until]):
+            seg = jax.tree.map(lambda p: p[start:stop], visual["blocks"])
+            adapted = adapters is not None and start < adapt_until
+            xs = ((seg, jax.tree.map(lambda p: p[start:stop], adapters))
+                  if adapted else seg)
+            x, (s1, s2) = jax.lax.scan(body(adapted), x, xs)
+            s1s.append(s1)
+            s2s.append(s2)
+        return (jnp.concatenate(s1s, axis=0), jnp.concatenate(s2s, axis=0), x)
+
+    s_qkv, s_cfc, _ = jax.jit(stats_forward)(jnp.asarray(images))
+    return {"qkv": np.asarray(s_qkv), "c_fc": np.asarray(s_cfc)}
+
+
+def smooth_backbone(frozen, stats, alpha: float = 0.5, scope: str = "all"):
+    """SmoothQuant-style outlier migration for the LN-fed block matmuls.
+
+    Real transformer activations develop a few channels 20-100x the rest
+    (largely LN-gain amplified); per-TOKEN dynamic activation quantization
+    (int8_linear) then sets its scale from the outlier and crushes every
+    other channel's resolution. Because the backbone is frozen and both
+    quantized-matmul inputs are LayerNorm outputs, the per-channel balancing
+    factor s folds ENTIRELY into existing parameters at load time:
+
+        ln.scale /= s, ln.bias /= s   (LN output channel j shrinks by s_j)
+        w[j, :]  *= s_j               (the matmul result is unchanged)
+
+    — exact identity in float (pinned by test), zero runtime cost, and no
+    kernel changes (the fused int8 LN->MLP kernel just reads the folded
+    params). s_j = amax_act_j^alpha / amax_w_row_j^(1-alpha), the SmoothQuant
+    migration rule (Xiao et al., arXiv 2211.10438); alpha=0.5 default.
+
+    Scope matches the quantization scope: "all" folds qkv + c_fc, "attn"
+    only qkv, "mlp" only c_fc. Not covered (documented in docs/DESIGN.md):
+    the out-proj input (attention output — folding through the v-v surgery
+    blocks would change their attention weights) and the c_proj input (GELU
+    is not scale-equivariant); both are measured benign in the outlier study
+    (tools/int8_outlier_study.py).
+
+    stats: calibrate_ln_amax output. Returns a new frozen pytree; apply
+    BEFORE quantize_backbone_int8.
+    """
+    def fold(ln, lin, a_amax):
+        w = np.asarray(lin["w"], np.float32)             # (L, d_in, d_out)
+        w_amax = np.maximum(np.max(np.abs(w), axis=-1), 1e-6)
+        a = np.maximum(np.asarray(a_amax, np.float32), 1e-6)
+        s = np.clip(a ** alpha / w_amax ** (1.0 - alpha), 1e-4, 1e4)
+        new_ln = {"scale": jnp.asarray(np.asarray(ln["scale"], np.float32) / s),
+                  "bias": jnp.asarray(np.asarray(ln["bias"], np.float32) / s)}
+        new_lin = dict(lin)
+        new_lin["w"] = jnp.asarray(w * s[..., None])
+        return new_ln, new_lin
+
+    blocks = dict(frozen["visual"]["blocks"])
+    if scope in ("all", "attn"):
+        ln_1, qkv = fold(blocks["ln_1"], blocks["attn"]["qkv"], stats["qkv"])
+        blocks["ln_1"] = ln_1
+        blocks["attn"] = dict(blocks["attn"], qkv=qkv)
+    if scope in ("all", "mlp"):
+        ln_2, c_fc = fold(blocks["ln_2"], blocks["mlp"]["c_fc"],
+                          stats["c_fc"])
+        blocks["ln_2"] = ln_2
+        blocks["mlp"] = dict(blocks["mlp"], c_fc=c_fc)
+    visual = dict(frozen["visual"], blocks=blocks)
+    return dict(frozen, visual=visual)
+
+
+def quantize_backbone_tier(frozen, tier, smooth_stats=None,
+                           smooth_alpha: float = 0.5):
     """Tier-string front-end shared by every CLI/env/serving entry point.
 
     tier: None / "" (no-op), "int8" (all block matmuls), "int8_attn"
     (qkv/out only; the MLP keeps the fused fp Pallas kernel) or "int8_mlp"
     (c_fc/c_proj only, through the fused int8 kernel; attention projections
-    stay in the compute dtype). Anything else — e.g. a typo'd
+    stay in the compute dtype). Any tier takes a "+smooth" suffix
+    (e.g. "int8+smooth"): SmoothQuant outlier migration folded in before
+    quantization — requires `smooth_stats` from :func:`calibrate_ln_amax`
+    on a calibration batch. Anything else — e.g. a typo'd
     AACLIP_BENCH_QUANT=int8-attn — raises instead of silently running the
     fp tier under a quantized label.
     """
     if tier in (None, ""):
         return frozen
+    base, _, suffix = tier.partition("+")
     scopes = {"int8": "all", "int8_attn": "attn", "int8_mlp": "mlp"}
-    if tier not in scopes:
+    if base not in scopes or suffix not in ("", "smooth"):
         raise ValueError(
             f"unknown quantization tier {tier!r}; expected 'int8',"
-            " 'int8_attn' or 'int8_mlp'")
-    return quantize_backbone_int8(frozen, scope=scopes[tier])
+            " 'int8_attn' or 'int8_mlp', optionally with a '+smooth'"
+            " suffix")
+    if suffix == "smooth":
+        if smooth_stats is None:
+            raise ValueError(
+                f"tier {tier!r} needs calibration statistics: pass "
+                "smooth_stats=calibrate_ln_amax(...) (a calibration batch "
+                "of real images through the fp backbone)")
+        frozen = smooth_backbone(frozen, smooth_stats, alpha=smooth_alpha,
+                                 scope=scopes[base])
+    return quantize_backbone_int8(frozen, scope=scopes[base])
+
+
+def quantize_backbone_auto(frozen, tier, cfg=None, calib_images=None,
+                           trainable=None, smooth_alpha: float = 0.5):
+    """CLI-facing tier wrapper that resolves '+smooth' calibration.
+
+    Plain tiers pass straight through to :func:`quantize_backbone_tier`.
+    For '+smooth' tiers it runs :func:`calibrate_ln_amax` on
+    ``calib_images`` (a (B, 3, H, W) batch of CLIP-normalized images — real
+    data preferred), or on a seeded random batch when none are at hand.
+    LN-gain-driven outlier channels — the dominant real-weight failure mode
+    (docs/DESIGN.md outlier study) — are input-independent (the post-LN
+    channel scale is ~|ln.scale_j| for any input), so random-batch
+    calibration already captures them; residual-stream outliers need real
+    images. ``cfg`` (ModelConfig) is required for '+smooth' tiers;
+    ``trainable`` additionally threads the residual adapters into the
+    calibration forward, mirroring the production tower.
+    """
+    if not (tier and tier.endswith("+smooth")):
+        return quantize_backbone_tier(frozen, tier)
+    if cfg is None:
+        raise ValueError(
+            f"tier {tier!r} needs the model config for calibration")
+    v = cfg.clip.vision
+    if calib_images is None:
+        rng = np.random.default_rng(0)
+        calib_images = rng.standard_normal(
+            (4, 3, v.image_size, v.image_size)).astype(np.float32)
+    kwargs = {}
+    if trainable is not None:
+        kwargs = dict(adapters=trainable["image_adapter"]["layer_adapters"],
+                      adapter_weight=cfg.adapter.image_adapt_weight,
+                      adapt_until=cfg.adapter.image_adapt_until)
+    stats = calibrate_ln_amax(frozen["visual"], v, calib_images,
+                              act_name=cfg.clip.act, **kwargs)
+    return quantize_backbone_tier(frozen, tier, smooth_stats=stats,
+                                  smooth_alpha=smooth_alpha)
 
 
 def quantize_backbone_int8(frozen, scope: str = "all"):

@@ -87,10 +87,16 @@ class AnomalyDetector:
             # keeps the attention projections in compute dtype. Anchors
             # are computed BELOW with the full-precision text tower either
             # way (the quantized pytree shares it), so only the visual
-            # block matmuls change.
-            from .ops.quant import quantize_backbone_tier
+            # block matmuls change. A "+smooth" suffix adds SmoothQuant
+            # outlier migration, calibrated here on the production-adapted
+            # tower (seeded random batch; pass real images via
+            # ops.quant.calibrate_ln_amax + quantize_backbone_tier to
+            # calibrate on data instead).
+            from .ops.quant import quantize_backbone_auto
 
-            frozen = quantize_backbone_tier(frozen, quantize)
+            frozen = quantize_backbone_auto(frozen, quantize,
+                                            cfg=model_cfg,
+                                            trainable=trainable)
         self.frozen = frozen
         self.trainable = trainable
         self.cfg = model_cfg

@@ -6,10 +6,17 @@ on the prompt ensembles used by the framework: same vocab
 data), same merge table slice, same regex, same SOT/EOT framing and 77-token
 zero padding.
 
-``ftfy.fix_text`` in the reference's ``basic_clean`` is mojibake repair; it is
-the identity on the ASCII prompt sentences this framework generates. We use it
-when installed and otherwise fall back to HTML-unescape + strip, which is
-equivalent for that input class.
+``ftfy.fix_text`` in the reference's ``basic_clean`` is text repair; it is the
+identity on the ASCII prompt sentences this framework generates (property
+pinned in tests/test_tokenizer.py). We use ftfy when installed; the fallback
+transcribes the fix_text transforms that matter for prompt-like inputs —
+fullwidth->ASCII width folding, Latin ligature expansion, quote uncurling and
+NFC normalization (ftfy's fix_character_width / fix_latin_ligatures /
+uncurl_quotes / normalization="NFC" defaults) — so pasted class names with
+curly apostrophes or fullwidth text tokenize identically either way. NOT
+transcribed (documented divergence, pinned by test): mojibake repair
+(fix_encoding) and the rarer fixers (terminal escapes, surrogates, C1
+controls); genuinely corrupted non-ASCII input needs real ftfy.
 """
 from __future__ import annotations
 
@@ -17,19 +24,36 @@ import functools
 import gzip
 import html
 import os
+import unicodedata
 from typing import List, Union
 
 import numpy as np
 import regex as re
 
-try:  # optional; identity for ASCII inputs
+# ftfy uncurl_quotes + fix_latin_ligatures, transcribed
+# (ftfy/fixes.py: UNCURL_QUOTES_RE and LIGATURES).
+_UNCURL = {0x2018: "'", 0x2019: "'", 0x201C: '"', 0x201D: '"'}
+_LIGATURES = {0x0132: "IJ", 0x0133: "ij", 0xFB00: "ff", 0xFB01: "fi",
+              0xFB02: "fl", 0xFB03: "ffi", 0xFB04: "ffl", 0xFB05: "st",
+              0xFB06: "st"}
+# fix_character_width for the fullwidth-ASCII block + ideographic space
+# (the prompt-relevant subset of ftfy's W/F width folding).
+_WIDTH = {0x3000: " ", **{c: chr(c - 0xFEE0) for c in range(0xFF01, 0xFF5F)}}
+_FALLBACK_TABLE = {**_WIDTH, **_LIGATURES, **_UNCURL}
+
+def _fallback_fix_text(t: str) -> str:
+    """The transcribed fix_text subset (module docstring); always defined so
+    tests pin it against the transcription whether or not ftfy exists."""
+    return unicodedata.normalize("NFC", t.translate(_FALLBACK_TABLE))
+
+
+try:  # optional; the fallback transcribes the prompt-relevant subset
     import ftfy
 
     def _fix_text(t: str) -> str:
         return ftfy.fix_text(t)
 except ImportError:  # pragma: no cover - environment dependent
-    def _fix_text(t: str) -> str:
-        return t
+    _fix_text = _fallback_fix_text
 
 
 VOCAB_PATH = os.path.join(os.path.dirname(__file__), "bpe_simple_vocab_16e6.txt.gz")

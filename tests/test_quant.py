@@ -197,6 +197,162 @@ def test_quantize_rejects_resnet():
         quantize_backbone_int8(frozen)
 
 
+def _inject_ln_gain_outliers(frozen, channels, factor):
+    """Synthesize the real-weight risk (GPT-style outlier channels): scale a
+    few LN gain channels by `factor`, which amplifies the same activation
+    channels at every quantized-matmul input."""
+    import jax
+
+    def boost(ln):
+        scale = np.asarray(ln["scale"], np.float32).copy()
+        scale[..., list(channels)] *= factor
+        return dict(ln, scale=jnp.asarray(scale))
+
+    blocks = dict(frozen["visual"]["blocks"])
+    blocks["ln_1"] = boost(blocks["ln_1"])
+    blocks["ln_2"] = boost(blocks["ln_2"])
+    return dict(frozen, visual=dict(frozen["visual"], blocks=blocks))
+
+
+def test_calibration_forward_parity(model, rng):
+    """calibrate_ln_amax's internal forward must track vision_forward (it is
+    a re-statement of the plain XLA block path): the recorded amax of the
+    qkv input equals the true post-ln_1 amax computed from scratch for
+    layer 0, and stats have the right shapes/positivity."""
+    from aa_clip_iqm_tpu.ops.layers import layer_norm as ln_op
+    from aa_clip_iqm_tpu.ops.quant import calibrate_ln_amax
+
+    cfg, frozen, trainable = model
+    v = cfg.clip.vision
+    images = jnp.asarray(
+        rng.standard_normal((2, 3, IMG, IMG)).astype(np.float32))
+    stats = calibrate_ln_amax(frozen["visual"], v, images,
+                              act_name=cfg.clip.act)
+    assert stats["qkv"].shape == (v.layers, v.width)
+    assert stats["c_fc"].shape == (v.layers, v.width)
+    assert (stats["qkv"] > 0).all() and (stats["c_fc"] > 0).all()
+
+    # layer-0 cross-check from first principles (embed + ln_pre + ln_1)
+    from aa_clip_iqm_tpu.models.clip import block_slice, patchify
+
+    x = patchify(frozen["visual"], images, v.patch_size)
+    cls = jnp.broadcast_to(frozen["visual"]["class_embedding"],
+                           (2, 1, v.width))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + frozen["visual"]["positional_embedding"]
+    x = ln_op(frozen["visual"]["ln_pre"], x)
+    h1 = ln_op(block_slice(frozen["visual"]["blocks"], 0)["ln_1"], x)
+    expect = np.max(np.abs(np.asarray(h1)), axis=(0, 1))
+    np.testing.assert_allclose(stats["qkv"][0], expect, rtol=1e-5)
+
+    # adapters included when passed (mirrors encode_image_adapted)
+    stats_a = calibrate_ln_amax(
+        frozen["visual"], v, images, act_name=cfg.clip.act,
+        adapters=trainable["image_adapter"]["layer_adapters"],
+        adapter_weight=cfg.adapter.image_adapt_weight,
+        adapt_until=cfg.adapter.image_adapt_until)
+    # layer 0's qkv input precedes any adapter -> identical stats there
+    np.testing.assert_allclose(stats_a["qkv"][0], stats["qkv"][0], rtol=1e-6)
+    # later layers sit behind adapter blends -> stats differ
+    assert not np.allclose(stats_a["qkv"][-1], stats["qkv"][-1])
+
+
+def test_smooth_backbone_fp_identity(model, rng):
+    """The SmoothQuant fold (ln /= s, w rows *= s) is an exact identity of
+    the float forward — before quantization nothing may change."""
+    from aa_clip_iqm_tpu.ops.quant import calibrate_ln_amax, smooth_backbone
+
+    cfg, frozen, _ = model
+    v = cfg.clip.vision
+    frozen = _inject_ln_gain_outliers(frozen, channels=(3, 17), factor=40.0)
+    images = jnp.asarray(
+        rng.standard_normal((2, 3, IMG, IMG)).astype(np.float32))
+    stats = calibrate_ln_amax(frozen["visual"], v, images,
+                              act_name=cfg.clip.act)
+    smoothed = smooth_backbone(frozen, stats, alpha=0.5)
+    # the fold really moved scale around
+    assert not np.allclose(
+        np.asarray(smoothed["visual"]["blocks"]["ln_1"]["scale"]),
+        np.asarray(frozen["visual"]["blocks"]["ln_1"]["scale"]))
+
+    pooled, taps, _ = vision_forward(frozen["visual"], v, images,
+                                     out_layers=cfg.adapter.levels)
+    pooled_s, taps_s, _ = vision_forward(smoothed["visual"], v, images,
+                                         out_layers=cfg.adapter.levels)
+    # identity up to fp32 rounding: (g/s)*s re-rounds once per channel and
+    # the factor-40 outlier gains amplify that through the tower
+    np.testing.assert_allclose(np.asarray(pooled_s), np.asarray(pooled),
+                               rtol=2e-3, atol=5e-4)
+    for t, ts in zip(taps, taps_s):
+        np.testing.assert_allclose(np.asarray(ts), np.asarray(t),
+                                   rtol=2e-3, atol=5e-4)
+
+
+def test_smooth_recovers_outlier_int8(model, rng):
+    """The study's synthetic failure mode in miniature: LN-gain outlier
+    channels degrade plain int8 (per-token activation scales collapse);
+    '+smooth' must recover most of the lost fidelity."""
+    from aa_clip_iqm_tpu.ops.quant import (
+        calibrate_ln_amax,
+        quantize_backbone_tier,
+    )
+
+    cfg, frozen, _ = model
+    v = cfg.clip.vision
+    frozen = _inject_ln_gain_outliers(frozen, channels=(5, 29, 44),
+                                      factor=80.0)
+    images = jnp.asarray(
+        rng.standard_normal((4, 3, IMG, IMG)).astype(np.float32))
+    pooled, _, _ = vision_forward(frozen["visual"], v, images)
+
+    def err(frozen_q):
+        pooled_q, _, _ = vision_forward(frozen_q["visual"], v, images)
+        d = np.asarray(pooled_q) - np.asarray(pooled)
+        return float(np.linalg.norm(d) / np.linalg.norm(np.asarray(pooled)))
+
+    stats = calibrate_ln_amax(frozen["visual"], v, images,
+                              act_name=cfg.clip.act)
+    e_plain = err(quantize_backbone_tier(frozen, "int8"))
+    e_smooth = err(quantize_backbone_tier(frozen, "int8+smooth",
+                                          smooth_stats=stats))
+    assert e_smooth < e_plain, (e_plain, e_smooth)
+    assert e_smooth < 0.6 * e_plain, (e_plain, e_smooth)
+
+
+def test_smooth_tier_frontend(model, rng):
+    """'+smooth' suffix contract: every base tier accepts it, it requires
+    calibration stats, and malformed suffixes raise."""
+    from aa_clip_iqm_tpu.ops.quant import (
+        calibrate_ln_amax,
+        quantize_backbone_tier,
+    )
+
+    cfg, frozen, _ = model
+    images = jnp.asarray(
+        rng.standard_normal((2, 3, IMG, IMG)).astype(np.float32))
+    stats = calibrate_ln_amax(frozen["visual"], cfg.clip.vision, images,
+                              act_name=cfg.clip.act)
+    with pytest.raises(ValueError, match="calibration"):
+        quantize_backbone_tier(frozen, "int8+smooth")
+    with pytest.raises(ValueError, match="unknown quantization tier"):
+        quantize_backbone_tier(frozen, "int8+fast")
+    q = quantize_backbone_tier(frozen, "int8_mlp+smooth", smooth_stats=stats)
+    assert "w_q" in q["visual"]["blocks"]["mlp"]["c_fc"]
+    # mlp scope smooths ln_2 only; ln_1 is untouched
+    np.testing.assert_array_equal(
+        np.asarray(q["visual"]["blocks"]["ln_1"]["scale"]),
+        np.asarray(frozen["visual"]["blocks"]["ln_1"]["scale"]))
+    assert not np.allclose(
+        np.asarray(q["visual"]["blocks"]["ln_2"]["scale"]),
+        np.asarray(frozen["visual"]["blocks"]["ln_2"]["scale"]))
+    q_attn = quantize_backbone_tier(frozen, "int8_attn+smooth",
+                                    smooth_stats=stats)
+    assert "w_q" in q_attn["visual"]["blocks"]["attn"]["qkv"]
+    np.testing.assert_array_equal(
+        np.asarray(q_attn["visual"]["blocks"]["ln_2"]["scale"]),
+        np.asarray(frozen["visual"]["blocks"]["ln_2"]["scale"]))
+
+
 def test_int8_linear_ste_gradients(rng):
     """Straight-through backward: grads w.r.t. x match the dequantized-
     weight linear (without the VJP they would be silently zero through

@@ -85,7 +85,8 @@ def build_parser():
                    choices=["bfloat16", "float32"])
     p.add_argument("--use_pallas", action="store_true")
     p.add_argument("--quantize_backbone", default=None,
-                   choices=["int8", "int8_attn", "int8_mlp"],
+                   choices=["int8", "int8_attn", "int8_mlp", "int8+smooth",
+                                  "int8_attn+smooth", "int8_mlp+smooth"],
                    help="evaluate an int8 inference tier instead of fp — "
                    "measures the tier's AUROC delta against the same anchor "
                    "table (docs/DESIGN.md)")
@@ -181,9 +182,10 @@ def main(argv=None):
                         f"epoch {epoch})")
 
     if args.quantize_backbone:
-        from aa_clip_iqm_tpu.ops.quant import quantize_backbone_tier
+        from aa_clip_iqm_tpu.ops.quant import quantize_backbone_auto
 
-        frozen = quantize_backbone_tier(frozen, args.quantize_backbone)
+        frozen = quantize_backbone_auto(frozen, args.quantize_backbone,
+                                        cfg=model_cfg, trainable=trainable)
         weights_mode += f" + quantized backbone ({args.quantize_backbone})"
 
     anchor_table = {}
