@@ -253,8 +253,9 @@ def bench_eval():
     decode + per-class anchor computation + the per-class predict loop with
     tail-batch bucketing + device-resident metrics — not just the jitted
     program (VERDICT r3 next-round item 4). One warmup sweep absorbs the
-    compiles; the timed sweep re-runs everything including anchors and
-    decode. vs_baseline: the reference eval loop is bounded by the same
+    compiles (make_predict_fn's LRU cache means the timed sweep reuses the
+    traced programs — steady state); the timed sweep re-runs all the real
+    per-sweep work: anchors, host decode, transfers, metrics. vs_baseline: the reference eval loop is bounded by the same
     backbone estimate as inference (module docstring, 20 img/s) and its
     host pipeline (PIL decode, per-level blur on GPU) only adds to that, so
     the denominator is again deliberately reference-favorable.

@@ -8,6 +8,7 @@ test_last.py:53-158 (get_predictions) + the per-class driver loop
 """
 from __future__ import annotations
 
+import functools
 from typing import Dict, Optional
 
 import jax
@@ -32,6 +33,7 @@ def _device_normalize(images_u8):
     return (images_u8.astype(jnp.float32) / 255.0 - mean) / std
 
 
+@functools.lru_cache(maxsize=8)
 def make_predict_fn(cfg: ModelConfig, img_size: int, domain: str,
                     use_iqm: bool = True, compute_dtype=jnp.float32,
                     use_pallas: bool = False, text_weight: float = 0.6,
@@ -47,6 +49,13 @@ def make_predict_fn(cfg: ModelConfig, img_size: int, domain: str,
     "reference_eval" (the executed reference's eval transcription — survey
     Q11; for parity studies, requires batch >= 2 and is batch-composition
     dependent like the reference).
+
+    LRU-cached on the (all-hashable, value-type) arguments: repeated
+    `evaluate_dataset` calls — benchmark sweeps, per-epoch evals, serving
+    reloads — get the SAME jitted callable back, so jax's jit cache hits and
+    the multi-second ViT-L re-trace per tail-bucket shape is paid once per
+    process, not once per sweep (closures capture only these args, never
+    params; params are explicit call inputs).
     """
     if image_score_mode not in ("fixed", "reference_eval"):
         raise ValueError(f"unknown image_score_mode {image_score_mode!r}")

@@ -11,6 +11,7 @@ gradient psums over ICI).
 """
 from __future__ import annotations
 
+import functools
 import time
 from typing import Dict, Optional
 
@@ -109,6 +110,29 @@ def run_stage1(frozen, trainable, model_cfg: ModelConfig,
     return trainable
 
 
+@functools.lru_cache(maxsize=8)
+def _anchors_program(model_cfg: ModelConfig, adapted: bool, compute_dtype,
+                     n_classes: int, n_norm: int, n_abn: int):
+    """One jitted text-tower + anchor-reduction program, LRU-cached on its
+    static configuration. Without the jit the 12-layer text encoder runs
+    eagerly — hundreds of op dispatches, each a host->device round trip on
+    remote-attached accelerators — and without the cache every
+    compute_frozen_anchors call would re-trace it."""
+    from ..prompts import anchors_from_flat_embeddings
+
+    def f(frozen, trainable, tokens):
+        if adapted:
+            emb = adapters_mod.encode_text_adapted(
+                frozen, trainable, model_cfg, tokens,
+                compute_dtype=compute_dtype)
+        else:
+            emb = adapters_mod.encode_text_frozen(
+                frozen, model_cfg, tokens, compute_dtype=compute_dtype)
+        return anchors_from_flat_embeddings(emb, n_classes, n_norm, n_abn)
+
+    return jax.jit(f)
+
+
 def compute_frozen_anchors(frozen, trainable, model_cfg: ModelConfig,
                            dataset_name: str, adapted: bool,
                            compute_dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
@@ -117,18 +141,13 @@ def compute_frozen_anchors(frozen, trainable, model_cfg: ModelConfig,
 
     All classes' prompt sentences go through one batched encoder call (the
     reference loops classes x states through separate forwards,
-    forward_utils.py:185-192 — identical math, one compile, one dispatch).
+    forward_utils.py:185-192 — identical math, one compile, one dispatch),
+    jitted end-to-end through the anchor reduction (_anchors_program).
     """
-    from ..prompts import anchors_from_flat_embeddings, batched_prompt_tokens
-
     classes, tokens, n_norm, n_abn = batched_prompt_tokens(dataset_name)
-    if adapted:
-        emb = adapters_mod.encode_text_adapted(
-            frozen, trainable, model_cfg, tokens, compute_dtype=compute_dtype)
-    else:
-        emb = adapters_mod.encode_text_frozen(
-            frozen, model_cfg, tokens, compute_dtype=compute_dtype)
-    anchors = anchors_from_flat_embeddings(emb, len(classes), n_norm, n_abn)
+    program = _anchors_program(model_cfg, adapted, compute_dtype,
+                               len(classes), n_norm, n_abn)
+    anchors = program(frozen, trainable, tokens)
     return {c: anchors[i] for i, c in enumerate(classes)}
 
 
