@@ -217,6 +217,18 @@ def calibrate_ln_amax(visual, vision_cfg, images, act_name: str = "gelu",
     return {"qkv": np.asarray(s_qkv), "c_fc": np.asarray(s_cfc)}
 
 
+def activation_outlier_ratio(stats):
+    """Per-site outlier diagnostic from calibration stats: max/median of the
+    per-channel activation amax across all layers, for each quantized-matmul
+    input site. This is the operational go/no-go number from the outlier
+    study (docs/DESIGN.md "int8 outlier robustness"): ratios at or below
+    the study's measured-harmless band mean plain int8 tiers are safe;
+    far above it, re-run the study's factor sweep / prefer '+smooth' or
+    int8_mlp before making int8 a serving default."""
+    return {k: float(np.max(v) / max(float(np.median(v)), 1e-9))
+            for k, v in stats.items()}
+
+
 def smooth_backbone(frozen, stats, alpha: float = 0.5, scope: str = "all"):
     """SmoothQuant-style outlier migration for the LN-fed block matmuls.
 

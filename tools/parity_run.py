@@ -101,6 +101,28 @@ def build_parser():
     return p
 
 
+def _calibration_batch(args, logger, n: int = 8):
+    """Up to n host-normalized test images from the first requested dataset
+    (first class) for the int8 outlier diagnostic; a seeded random batch
+    when no data is reachable (LN-gain-driven outliers are input-
+    independent, so the diagnostic is still indicative — logged as such)."""
+    import numpy as np
+
+    try:
+        from aa_clip_iqm_tpu.data.datasets import get_dataset
+
+        datasets = get_dataset(args.datasets[0], args.img_size, None, -1,
+                               "test", metadata_root=args.metadata_root)
+        ds = next(iter(datasets.values()))
+        return np.stack([ds[i]["image"] for i in range(min(n, len(ds)))])
+    except Exception as exc:
+        logger.warning("calibration falling back to a random batch "
+                       "(real images unreachable: %s)", exc)
+        rng = np.random.default_rng(0)
+        return rng.standard_normal(
+            (4, 3, args.img_size, args.img_size)).astype(np.float32)
+
+
 def run_dataset(args, dataset, frozen, trainable, model_cfg, adapt_text,
                 dtype, logger):
     from aa_clip_iqm_tpu.configs import EvalConfig
@@ -181,6 +203,31 @@ def main(argv=None):
         weights_mode = (f"trained checkpoint ({args.save_path}, "
                         f"epoch {epoch})")
 
+    # int8 go/no-go diagnostic (docs/DESIGN.md "int8 outlier robustness"):
+    # calibrate the FP backbone's post-LN activation amax on a real test
+    # batch and log each quantized-matmul input site's max/median channel
+    # ratio. This is the number the serving-default decision reads off the
+    # real-weights run.
+    outlier_ratios = None
+    try:
+        from aa_clip_iqm_tpu.ops.quant import (
+            activation_outlier_ratio,
+            calibrate_ln_amax,
+        )
+
+        calib = _calibration_batch(args, logger)
+        stats = calibrate_ln_amax(
+            frozen["visual"], model_cfg.clip.vision, calib,
+            act_name=model_cfg.clip.act,
+            adapters=trainable["image_adapter"]["layer_adapters"],
+            adapter_weight=model_cfg.adapter.image_adapt_weight,
+            adapt_until=model_cfg.adapter.image_adapt_until)
+        outlier_ratios = activation_outlier_ratio(stats)
+        logger.info("int8 outlier diagnostic (amax max/median per site): %s",
+                    outlier_ratios)
+    except Exception as exc:  # diagnostic only — never fail the parity run
+        logger.warning("outlier diagnostic skipped: %s", exc)
+
     if args.quantize_backbone:
         from aa_clip_iqm_tpu.ops.quant import quantize_backbone_auto
 
@@ -203,7 +250,7 @@ def main(argv=None):
                        args.anchor_table)
 
     summary = {"weights": weights_mode, "budget_pt": args.budget,
-               "datasets": {}}
+               "int8_outlier_ratios": outlier_ratios, "datasets": {}}
     failed = []
     report = [
         "# Parity report", "",
@@ -213,7 +260,9 @@ def main(argv=None):
         f"- operating point: {args.model_name} @ {args.img_size}px, "
         f"{args.compute_dtype}",
         f"- budget: |pixel AUC delta| <= {args.budget}pt "
-        "(BASELINE.json north-star)", "",
+        "(BASELINE.json north-star)",
+        f"- int8 outlier diagnostic (amax max/median per site): "
+        f"{outlier_ratios} — docs/DESIGN.md go/no-go rule", "",
     ]
     for dataset in args.datasets:
         rows, table = run_dataset(args, dataset, frozen, trainable,
