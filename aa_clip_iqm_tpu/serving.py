@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from .configs import ModelConfig
-from .data.datasets import _load_image, normalize_clip
+from .data.datasets import _load_image_u8
 from .data.registry import DOMAINS
 from .evaluation.predict import make_predict_fn
 from .loader import build_model_config, init_trainable, load_frozen_backbone
@@ -64,7 +64,7 @@ def _bucketed(images, buckets, split, run):
     if bucket != n:
         images = np.concatenate(
             [images, np.zeros((bucket - n,) + tuple(images.shape[1:]),
-                              np.float32)], axis=0)
+                              images.dtype)], axis=0)
     return run(images, bucket, n)
 
 
@@ -141,7 +141,9 @@ class AnomalyDetector:
 
     def predict(self, images: np.ndarray,
                 class_name: str) -> Tuple[np.ndarray, np.ndarray]:
-        """images: (B, 3, H, W) float32, CLIP-normalized, H=W=img_size.
+        """images: (B, 3, H, W), H=W=img_size — float32 CLIP-normalized, or
+        uint8 raw pixels (normalized on device, bit-identically; 4x less
+        host->device transfer, the predict_paths default).
         Returns (anomaly maps (B, H, W) float32, image scores (B,)).
 
         Ragged batch sizes are padded up to the smallest fitting bucket from
@@ -200,10 +202,13 @@ class AnomalyDetector:
 
     def predict_paths(self, paths: Sequence[str],
                       class_name: str) -> Tuple[np.ndarray, np.ndarray]:
-        """Load, preprocess (bicubic + CLIP normalize) and predict."""
+        """Load, preprocess (bicubic resize) and predict. Ships uint8 to the
+        device and normalizes there (bit-identical to host normalize_clip;
+        see evaluation.predict._device_normalize) — 4x less transfer on
+        remote-attached accelerators."""
         images = np.stack([
-            normalize_clip(_load_image(p, self.img_size)) for p in paths
-        ]).astype(np.float32)
+            _load_image_u8(p, self.img_size) for p in paths
+        ])
         return self.predict(images, class_name)
 
 
