@@ -162,10 +162,14 @@ def predict_class(predict_fn, frozen, trainable, dataset, class_anchor,
         if device_resident:
             maps.append(final_map[:n])
             masks.append(jnp.asarray(batch["mask"][:n, 0] != 0))
+            # keep the logits on device too: np.asarray here would BLOCK the
+            # loop on every batch (a full tunnel round trip each), stalling
+            # the async dispatch pipeline; they're fetched once at the end.
+            image_scores.append(img_logit[:n])
         else:
             maps.append(np.asarray(final_map)[:n])
             masks.append(batch["mask"][:n])
-        image_scores.append(np.asarray(img_logit)[:n])
+            image_scores.append(np.asarray(img_logit)[:n])
         labels.append(batch["label"][:n])
         file_names.extend(batch["file_name"][:n])
     cat = jnp.concatenate if device_resident else np.concatenate
@@ -173,7 +177,8 @@ def predict_class(predict_fn, frozen, trainable, dataset, class_anchor,
         "masks": cat(masks, axis=0),
         "labels": np.concatenate(labels, axis=0),
         "maps": cat(maps, axis=0),
-        "image_scores": np.concatenate(image_scores, axis=0),
+        "image_scores": np.asarray(jnp.concatenate(image_scores, axis=0))
+        if device_resident else np.concatenate(image_scores, axis=0),
         "file_names": file_names,
     }
 

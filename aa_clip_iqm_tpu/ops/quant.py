@@ -152,7 +152,8 @@ def _quantize_block_tree(blocks, scope: str = "all"):
 
 def calibrate_ln_amax(visual, vision_cfg, images, act_name: str = "gelu",
                       adapters=None, adapter_weight: float = 0.0,
-                      adapt_until: int = 0, compute_dtype=jnp.float32):
+                      adapt_until: int = 0, compute_dtype=jnp.float32,
+                      use_pallas: bool = False):
     """Per-layer, per-channel amax of the post-LN activations — the inputs
     of the two LN-fed quantized matmuls (qkv after ln_1, c_fc after ln_2) —
     over a calibration batch, on the PLAIN tower the predict pipeline runs
@@ -191,7 +192,8 @@ def calibrate_ln_amax(visual, vision_cfg, images, act_name: str = "gelu",
                 block = layer_params[0] if adapted else layer_params
                 h1 = layer_norm(block["ln_1"], x)
                 s1 = jnp.max(jnp.abs(h1.astype(jnp.float32)), axis=(0, 1))
-                x = x + attn_ops.mha(block["attn"], h1, vision_cfg.heads)
+                x = x + attn_ops.mha(block["attn"], h1, vision_cfg.heads,
+                                     use_pallas=use_pallas)
                 h2 = layer_norm(block["ln_2"], x)
                 s2 = jnp.max(jnp.abs(h2.astype(jnp.float32)), axis=(0, 1))
                 x = x + mlp_block(block["mlp"], h2, act)
@@ -317,7 +319,8 @@ def quantize_backbone_tier(frozen, tier, smooth_stats=None,
 
 
 def quantize_backbone_auto(frozen, tier, cfg=None, calib_images=None,
-                           trainable=None, smooth_alpha: float = 0.5):
+                           trainable=None, smooth_alpha: float = 0.5,
+                           use_pallas: bool = False):
     """CLI-facing tier wrapper that resolves '+smooth' calibration.
 
     Plain tiers pass straight through to :func:`quantize_backbone_tier`.
@@ -347,8 +350,14 @@ def quantize_backbone_auto(frozen, tier, cfg=None, calib_images=None,
         kwargs = dict(adapters=trainable["image_adapter"]["layer_adapters"],
                       adapter_weight=cfg.adapter.image_adapt_weight,
                       adapt_until=cfg.adapter.image_adapt_until)
+    # use_pallas: route the calibration forward's attention through the
+    # flash kernels — numerically equivalent for amax purposes, and the
+    # XLA-attention flagship program's remote compile has been observed to
+    # exceed the tunnel's connection lifetime (~30 min) where the Pallas
+    # one compiles in minutes.
     stats = calibrate_ln_amax(frozen["visual"], v, calib_images,
-                              act_name=cfg.clip.act, **kwargs)
+                              act_name=cfg.clip.act, use_pallas=use_pallas,
+                              **kwargs)
     return quantize_backbone_tier(frozen, tier, smooth_stats=stats,
                                   smooth_alpha=smooth_alpha)
 

@@ -96,7 +96,8 @@ class AnomalyDetector:
 
             frozen = quantize_backbone_auto(frozen, quantize,
                                             cfg=model_cfg,
-                                            trainable=trainable)
+                                            trainable=trainable,
+                                            use_pallas=use_pallas)
         self.frozen = frozen
         self.trainable = trainable
         self.cfg = model_cfg

@@ -145,7 +145,7 @@ def main():
     n_out = max(1, int(round(args.frac * width)))
     channels = rng.choice(width, size=n_out, replace=False)
     print(f"# model={args.size} width={width} outlier_channels="
-          f"{sorted(channels.tolist())}")
+          f"{sorted(channels.tolist())}", flush=True)
 
     images_np, masks = make_images(args.images, img, args.seed + 7)
     images = jnp.asarray(images_np)
@@ -164,31 +164,39 @@ def main():
 
     hdr = (f"{'factor':>6} {'tier':>16} {'rho_vs_bf16':>11} "
            f"{'score_maxrel':>12} {'dAUROC_pts':>10}")
-    print(hdr)
+    print(hdr, flush=True)
     for factor in [float(f) for f in args.factors.split(",")]:
         frozen = inject_ln_gain_outliers(frozen0, channels, factor)
         stats = calibrate_ln_amax(frozen["visual"], cfg.clip.vision, images,
-                                  act_name=cfg.clip.act)
+                                  act_name=cfg.clip.act,
+                                  compute_dtype=compute_dtype,
+                                  use_pallas=args.use_pallas)
         ratio = float(np.max(stats["qkv"]) /
                       max(np.median(stats["qkv"]), 1e-9))
-        print(f"# factor={factor:g}: qkv-input amax max/median = {ratio:.1f}")
+        print(f"# factor={factor:g}: qkv-input amax max/median = {ratio:.1f}",
+              flush=True)
         maps_ref, scores_ref = run(frozen)
         auroc_ref = pixel_auroc(maps_ref, masks)
         for base in ("int8", "int8_attn", "int8_mlp"):
             for smooth in (False, True):
                 tier = base + ("+smooth" if smooth else "")
-                q = quantize_backbone_tier(
-                    frozen, tier,
-                    smooth_stats=stats if smooth else None,
-                    smooth_alpha=args.alpha)
-                maps_q, scores_q = run(q)
+                try:
+                    q = quantize_backbone_tier(
+                        frozen, tier,
+                        smooth_stats=stats if smooth else None,
+                        smooth_alpha=args.alpha)
+                    maps_q, scores_q = run(q)
+                except Exception as exc:  # keep the sweep's partial table
+                    print(f"{factor:>6g} {tier:>16} FAILED: {exc}",
+                          flush=True)
+                    continue
                 rho = sps.spearmanr(maps_ref.ravel(),
                                     maps_q.ravel()).statistic
                 srel = float(np.max(np.abs(scores_q - scores_ref))
                              / max(np.max(np.abs(scores_ref)), 1e-9))
                 dauc = (pixel_auroc(maps_q, masks) - auroc_ref) * 100
                 print(f"{factor:>6g} {tier:>16} {rho:>11.5f} "
-                      f"{srel:>12.4f} {dauc:>+10.3f}")
+                      f"{srel:>12.4f} {dauc:>+10.3f}", flush=True)
 
 
 if __name__ == "__main__":
