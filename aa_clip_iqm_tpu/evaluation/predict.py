@@ -164,7 +164,8 @@ def predict_class(predict_fn, frozen, trainable, dataset, class_anchor,
             masks.append(jnp.asarray(batch["mask"][:n, 0] != 0))
             # keep the logits on device too: np.asarray here would BLOCK the
             # loop on every batch (a full tunnel round trip each), stalling
-            # the async dispatch pipeline; they're fetched once at the end.
+            # the async dispatch pipeline; device-resident consumers
+            # (class_metrics_device) never need them on host at all.
             image_scores.append(img_logit[:n])
         else:
             maps.append(np.asarray(final_map)[:n])
@@ -177,8 +178,7 @@ def predict_class(predict_fn, frozen, trainable, dataset, class_anchor,
         "masks": cat(masks, axis=0),
         "labels": np.concatenate(labels, axis=0),
         "maps": cat(maps, axis=0),
-        "image_scores": np.asarray(jnp.concatenate(image_scores, axis=0))
-        if device_resident else np.concatenate(image_scores, axis=0),
+        "image_scores": cat(image_scores, axis=0),
         "file_names": file_names,
     }
 
@@ -187,15 +187,60 @@ def _bucket(n: int, multiple: int = 16) -> int:
     return ((n + multiple - 1) // multiple) * multiple
 
 
-def class_metrics_device(preds, class_name: str, domain: str):
-    """Per-class metric dict with pixel metrics computed on device.
+@functools.partial(jax.jit, static_argnames=("medical", "mixed_labels"))
+def _image_metrics_device(pmax, image_scores, labels, valid, n_valid,
+                          medical: bool, mixed_labels: bool):
+    """Image-level AUROC/AP on device over a bucket-padded batch.
 
-    preds: predict_class(..., device_resident=True) output. Pixel AUROC/AP
-    and the per-image normalized maxima run on the accelerator over
-    bucket-padded shapes (one compile per bucket, not per class size);
-    the B-sized image-level metrics run on host.
+    Mirrors the host path exactly: conditional min-max of the raw image
+    logits (reference forward_utils.py:246-253 — applied only when
+    max != 1), 0.5/0.5 blend with the per-image normalized map maxima
+    (Medical domain: pmax only), then rank metrics over the valid rows.
+    `mixed_labels` is decided on host from the (host) label vector — the
+    reference returns 0.0 for single-label classes rather than NaN.
     """
-    from ..ops.metrics import auroc_ap, minmax_normalize, pixel_metrics_device
+    from ..ops.metrics import _rank_metrics
+
+    if not mixed_labels:
+        return jnp.zeros(()), jnp.zeros(())
+    x = image_scores.astype(jnp.float32)
+    mx = jnp.max(jnp.where(valid, x, -jnp.inf))
+    mn = jnp.min(jnp.where(valid, x, jnp.inf))
+    rng = mx - mn
+    norm = (x - mn) / jnp.where(rng == 0, 1.0, rng)
+    image_preds = jnp.where(mx != 1.0, norm, x)
+    combined = pmax if medical else pmax * 0.5 + image_preds * 0.5
+    scores = jnp.where(valid, combined, -jnp.inf)
+    lab = jnp.where(valid, labels.astype(jnp.float32), 0.0)
+    return _rank_metrics(scores, lab, n_valid)
+
+
+def _finalize_row(row):
+    """Fetch a deferred device-metric row and apply the reference's
+    round(x, 4) * 100 report formatting."""
+    if "_device" not in row:
+        return row
+    vals = np.asarray(row.pop("_device"))
+    for key, v in zip(("pixel AUC", "pixel AP", "image AUC", "image AP"),
+                      vals):
+        row[key] = round(float(v), 4) * 100
+    return row
+
+
+def class_metrics_device(preds, class_name: str, domain: str,
+                         defer: bool = False):
+    """Per-class metric dict with ALL metrics computed on device.
+
+    preds: predict_class(..., device_resident=True) output. Pixel AUROC/AP,
+    the per-image normalized maxima, and the image-level metrics all run on
+    the accelerator over bucket-padded shapes (one compile per bucket, not
+    per class size) — nothing in here blocks on the device. With
+    ``defer=True`` the returned row carries the four metrics as a single
+    un-fetched device array under "_device" (finalize with
+    :func:`_finalize_row`), so a multi-class sweep can dispatch every
+    class's predict+metrics work before the first host sync.
+    """
+    from ..ops.metrics import pixel_metrics_device
 
     maps, masks = preds["maps"], preds["masks"]
     b, h, w = maps.shape
@@ -206,27 +251,21 @@ def class_metrics_device(preds, class_name: str, domain: str):
     valid = jnp.arange(bb) < b
     pix_auc, pix_ap, pmax = pixel_metrics_device(maps, masks, valid,
                                                  b * h * w)
-    pmax = np.asarray(pmax)[:b]
 
     image_label = np.asarray(preds["labels"]).reshape(-1)
-    image_preds = minmax_normalize(preds["image_scores"]).reshape(-1)
-    if domain != "Medical":
-        image_scores = pmax * 0.5 + image_preds * 0.5
-    else:
-        image_scores = pmax
-    if image_label.max() != image_label.min():
-        img_auc, img_ap = (float(v) for v in auroc_ap(
-            jnp.asarray(image_scores),
-            jnp.asarray(image_label.astype(np.float32))))
-    else:
-        img_auc, img_ap = 0.0, 0.0
-    return {
+    image_scores = jnp.asarray(preds["image_scores"]).reshape(-1)
+    if bb != b:
+        image_scores = jnp.pad(image_scores, (0, bb - b))
+    labels_dev = jnp.pad(jnp.asarray(image_label, jnp.float32), (0, bb - b))
+    img_auc, img_ap = _image_metrics_device(
+        pmax, image_scores, labels_dev, valid, b,
+        medical=domain == "Medical",
+        mixed_labels=bool(image_label.max() != image_label.min()))
+    row = {
         "class name": class_name,
-        "pixel AUC": round(float(pix_auc), 4) * 100,
-        "pixel AP": round(float(pix_ap), 4) * 100,
-        "image AUC": round(img_auc, 4) * 100,
-        "image AP": round(img_ap, 4) * 100,
+        "_device": jnp.stack([pix_auc, pix_ap, img_auc, img_ap]),
     }
+    return row if defer else _finalize_row(row)
 
 
 def evaluate_dataset(frozen, trainable, model_cfg: ModelConfig,
@@ -254,7 +293,10 @@ def evaluate_dataset(frozen, trainable, model_cfg: ModelConfig,
                               image_score_mode=eval_cfg.image_score_mode,
                               buckets=(eval_cfg.batch_size,) if mesh else None)
         if device_resident:
-            row = class_metrics_device(preds, class_name, domain)
+            # defer=True: the row holds un-fetched device scalars, so the
+            # next class's host decode + predict dispatch overlaps this
+            # class's metric sort on device; everything syncs once below.
+            row = class_metrics_device(preds, class_name, domain, defer=True)
         else:
             from .visualize import dump_heatmaps
 
@@ -265,8 +307,11 @@ def evaluate_dataset(frozen, trainable, model_cfg: ModelConfig,
                 preds["masks"], preds["labels"], preds["maps"],
                 preds["image_scores"], class_name, domain)
         rows.append(row)
-        if logger:
-            logger.info("%s: %s", class_name, row)
+
+    rows = [_finalize_row(r) for r in rows]
+    if logger:
+        for row in rows:
+            logger.info("%s: %s", row["class name"], row)
 
     metric_keys = ["pixel AUC", "pixel AP", "image AUC", "image AP"]
     avg = {"class name": "Average"}

@@ -11,8 +11,15 @@ AP: AP = (1/P) * sum over positives of precision at that element's score
     threshold (>= semantics), which collapses tie groups exactly like
     sklearn's step-function integral.
 
-Both reduce to one sort of all scores + one sort of positive scores +
-searchsorted lookups — O(n log n) on the MXU-adjacent sort unit, no host work.
+Both come out of ONE two-operand sort (scores carrying labels) followed by
+associative scans (cumsum/cummax/cummin) — no searchsorted. The earlier
+implementation (2 full sorts + 4 binary-search gathers over the 518^2 x B
+pixel tensor) spent ~4.7 s/class on chip in the gathers alone; TPU gathers
+serialize where scans ride the VPU. Tie groups are handled exactly: every
+per-element quantity below (first/last index of the element's tie group,
+positives-at-or-above-threshold) is a group-level constant propagated by a
+monotone cummax/cummin, so midranks and >=-threshold counts match the
+sorted-array definitions bit-for-bit.
 """
 from __future__ import annotations
 
@@ -21,74 +28,74 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def auroc(scores, labels):
-    """scores: (N,) float; labels: (N,) {0,1}. Returns scalar float32."""
+def _rank_metrics(scores, labels, n_valid):
+    """AUROC + AP from one sort, with optional front-padding.
+
+    scores: (N,) float with padded entries = -inf; labels: (N,) {0,1} with
+    padded entries = 0; n_valid: count of real entries. Padded entries sort
+    to the front as their own tie group(s): for any valid score v the count
+    `#(>= v)` never includes a pad, so subtracting the pad count from the
+    midranks and using n_valid for the negative count restores the exact
+    unpadded statistics. Lets per-class eval jit once per *bucketed* shape
+    instead of once per class size.
+    """
     scores = scores.reshape(-1).astype(jnp.float32)
     labels = labels.reshape(-1).astype(jnp.float32)
     n = scores.shape[0]
-    sorted_scores = jnp.sort(scores)
-    left = jnp.searchsorted(sorted_scores, scores, side="left").astype(jnp.float32)
-    right = jnp.searchsorted(sorted_scores, scores, side="right").astype(jnp.float32)
-    midrank = (left + right + 1.0) * 0.5
-    p = jnp.sum(labels)
-    neg = n - p
-    pos_rank_sum = jnp.sum(midrank * labels)
-    return (pos_rank_sum - p * (p + 1.0) * 0.5) / (p * neg)
+    n_pad = n - n_valid
+    s, l = jax.lax.sort((scores, labels), num_keys=1)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    boundary = s[1:] != s[:-1]
+    first = jnp.concatenate([jnp.ones((1,), bool), boundary])
+    last = jnp.concatenate([boundary, jnp.ones((1,), bool)])
+    # First/last index of each element's tie group: group-start indices are
+    # increasing, so a running max of (index where group starts, else -1)
+    # holds each element's own group start; symmetrically a reverse running
+    # min of (index where group ends, else n) holds its group end.
+    f = jax.lax.cummax(jnp.where(first, idx, -1))
+    e = jax.lax.cummin(jnp.where(last, idx, n), reverse=True)
+    # 1-based midrank of a tie group spanning [f, e] is (f + e)/2 + 1.
+    midrank = (f + e).astype(jnp.float32) * 0.5 + 1.0
+
+    l_int = (l > 0).astype(jnp.int32)
+    p_int = jnp.sum(l_int)
+    p = p_int.astype(jnp.float32)
+    neg = n_valid - p
+    pos_rank_sum = jnp.sum((midrank - n_pad) * l)
+    auc = (pos_rank_sum - p * (p + 1.0) * 0.5) / (p * neg)
+
+    # AP with >= semantics: at element i's threshold, tp = #positives with
+    # score >= s[i] = P - (positives strictly before i's group start) and
+    # n_ge = n - f[i]. P - cumsum_excl is non-increasing, so a running min
+    # of its value at group starts propagates each group's own constant.
+    c_excl = jnp.cumsum(l_int) - l_int
+    tp = jax.lax.cummin(
+        jnp.where(first, p_int - c_excl, jnp.iinfo(jnp.int32).max))
+    n_ge = (n - f).astype(jnp.float32)
+    precision = tp.astype(jnp.float32) / n_ge
+    ap = jnp.sum(precision * l) / p
+    return auc, ap
+
+
+def auroc(scores, labels):
+    """scores: (N,) float; labels: (N,) {0,1}. Returns scalar float32."""
+    return _rank_metrics(scores, labels, scores.size)[0]
 
 
 def average_precision(scores, labels):
     """sklearn average_precision_score parity."""
-    scores = scores.reshape(-1).astype(jnp.float32)
-    labels = labels.reshape(-1).astype(jnp.float32)
-    n = scores.shape[0]
-    p = jnp.sum(labels)
-    sorted_all = jnp.sort(scores)
-    # Sort positives to the back so a fixed-size sorted array works under jit:
-    # negatives become -inf and never affect "#positives >= v" counts.
-    pos_scores = jnp.where(labels > 0, scores, -jnp.inf)
-    sorted_pos = jnp.sort(pos_scores)
-    n_ge = n - jnp.searchsorted(sorted_all, scores, side="left").astype(jnp.float32)
-    tp = n - jnp.searchsorted(sorted_pos, scores, side="left").astype(jnp.float32)
-    precision = tp / n_ge
-    return jnp.sum(precision * labels) / p
+    return _rank_metrics(scores, labels, scores.size)[1]
 
 
 @jax.jit
 def auroc_ap(scores, labels):
-    return auroc(scores, labels), average_precision(scores, labels)
+    return _rank_metrics(scores, labels, scores.size)
 
 
 def _masked_auroc_ap(scores, labels, n_valid):
-    """AUROC/AP over the first-class citizens of a padded score array.
-
-    Padded entries carry score=-inf and label=0: they sort to the front,
-    so for any valid score v the counts `#(< v)` include all pads and
-    `#(>= v)` include none — subtracting the pad count from the midranks
-    and using n_valid for the negative count restores the exact unpadded
-    statistics. Lets per-class eval jit once per *bucketed* shape instead
-    of once per class size.
-    """
-    scores = scores.reshape(-1).astype(jnp.float32)
-    labels = labels.reshape(-1).astype(jnp.float32)
-    n_total = scores.shape[0]
-    n_pad = n_total - n_valid
-    sorted_scores = jnp.sort(scores)
-    left = jnp.searchsorted(sorted_scores, scores, side="left").astype(jnp.float32)
-    right = jnp.searchsorted(sorted_scores, scores, side="right").astype(jnp.float32)
-    midrank = (left + right + 1.0) * 0.5 - n_pad
-    p = jnp.sum(labels)
-    neg = n_valid - p
-    auc = (jnp.sum(midrank * labels) - p * (p + 1.0) * 0.5) / (p * neg)
-
-    pos_scores = jnp.where(labels > 0, scores, -jnp.inf)
-    sorted_pos = jnp.sort(pos_scores)
-    n_ge = n_total - jnp.searchsorted(sorted_scores, scores,
-                                      side="left").astype(jnp.float32)
-    tp = n_total - jnp.searchsorted(sorted_pos, scores,
-                                    side="left").astype(jnp.float32)
-    precision = jnp.where(n_ge > 0, tp / jnp.maximum(n_ge, 1.0), 0.0)
-    ap = jnp.sum(precision * labels) / p
-    return auc, ap
+    """AUROC/AP over the first-class citizens of a padded score array
+    (see :func:`_rank_metrics` for the padding contract)."""
+    return _rank_metrics(scores, labels, n_valid)
 
 
 @jax.jit
