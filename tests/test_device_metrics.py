@@ -45,6 +45,31 @@ def test_class_metrics_device_medical_aggregation(rng):
         np.testing.assert_allclose(dev_row[key], host_row[key], atol=1e-2)
 
 
+def test_class_metrics_deferred_row_matches_immediate(rng):
+    """defer=True returns an un-fetched device row that finalizes to exactly
+    the defer=False values (the eval sweep's cross-class pipelining path)."""
+    from aa_clip_iqm_tpu.evaluation.predict import _finalize_row
+
+    masks, labels, maps, image_scores = _fake_preds(rng)
+    preds = {
+        "masks": jnp.asarray(masks[:, 0] != 0),
+        "labels": labels,
+        "maps": jnp.asarray(maps),
+        "image_scores": jnp.asarray(image_scores),
+    }
+    now = class_metrics_device(preds, "w", "Industrial")
+    deferred = class_metrics_device(preds, "w", "Industrial", defer=True)
+    assert "_device" in deferred and "pixel AUC" not in deferred
+    finalized = _finalize_row(deferred)
+    assert "_device" not in finalized
+    assert finalized == now
+    # single-label class: image metrics are 0.0 like the reference
+    ones = dict(preds, labels=np.ones_like(labels))
+    row = _finalize_row(class_metrics_device(ones, "w", "Industrial",
+                                             defer=True))
+    assert row["image AUC"] == 0.0 and row["image AP"] == 0.0
+
+
 def test_pixel_metrics_padding_invariance(rng):
     """Bucket padding must not change the metrics."""
     n, h = 7, 16
