@@ -30,6 +30,7 @@ from aa_clip_iqm_tpu.configs import (
     CLIPConfig,
     IQMConfig,
     ModelConfig,
+    ResNetVisionConfig,
     TextConfig,
     VisionConfig,
 )
@@ -113,6 +114,56 @@ def test_vision_forward_matches_executed_reference(small_clip):
 
 def test_text_forward_matches_executed_reference(small_clip):
     fx, cfg, params = small_clip
+    out = clip_mod.text_forward(params["text"], cfg.text,
+                                jnp.asarray(fx["tokens"]), act_name=cfg.act)
+    np.testing.assert_allclose(np.asarray(out), fx["text_out"],
+                               rtol=2e-5, atol=2e-5)
+
+
+# --------------------------------------------------------------------------
+# ModifiedResNet tower (executed standalone; the reference's live ViT path
+# never calls it — model/model.py:185-188 passes out_layers, which
+# ModifiedResNet.forward does not accept)
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def small_resnet():
+    fx = _load("small_resnet")
+    raw = _meta(fx, "config_json")
+    v, t = raw["vision_cfg"], raw["text_cfg"]
+    cfg = CLIPConfig(
+        embed_dim=raw["embed_dim"],
+        vision=ResNetVisionConfig(
+            image_size=v["image_size"], layers=tuple(v["layers"]),
+            width=v["width"], output_dim=raw["embed_dim"],
+            # reference convention: heads = width*32 // head_width
+            # (model/model.py:86)
+            heads=v["width"] * 32 // v["head_width"]),
+        text=TextConfig(
+            context_length=t["context_length"], vocab_size=t["vocab_size"],
+            width=t["width"], heads=t["heads"], layers=t["layers"],
+            output_dim=raw["embed_dim"]),
+        act="gelu")
+    # The manifest carries the frozen BatchNorm running stats as well —
+    # synth_state_dict regenerates exactly what the recorder assigned.
+    sd = synth_state_dict(_meta(fx, "manifest_json"))
+    params = torch_state_dict_to_params(sd, cfg)  # RN dispatch branch
+    return fx, cfg, params
+
+
+def test_resnet_forward_matches_executed_reference(small_resnet):
+    from aa_clip_iqm_tpu.models.modified_resnet import resnet_forward
+
+    fx, cfg, params = small_resnet
+    pooled, features = resnet_forward(params["visual"], cfg.vision,
+                                      jnp.asarray(fx["image"]))
+    np.testing.assert_allclose(np.asarray(pooled), fx["pooled"],
+                               rtol=2e-5, atol=2e-5)
+    assert len(features) == len(cfg.vision.layers)
+
+
+def test_resnet_text_forward_matches_executed_reference(small_resnet):
+    fx, cfg, params = small_resnet
     out = clip_mod.text_forward(params["text"], cfg.text,
                                 jnp.asarray(fx["tokens"]), act_name=cfg.act)
     np.testing.assert_allclose(np.asarray(out), fx["text_out"],

@@ -26,6 +26,12 @@ Reference surfaces driven (file:line):
     (model/adapter.py:137-304) incl. the lazily-created projections
   * forward_utils.calculate_similarity_map (train branch, :196-216),
     calculate_seg_loss (:223-227), metrics_eval (:233-308)
+  * ModifiedResNet.forward (model/modified_resnet.py:132-217) via a CLIP
+    built with a tuple-typed vision_cfg.layers (model/model.py:85-93),
+    incl. frozen-BN eval statistics
+
+Usage: `python tools/record_reference_fixtures.py [fixture_name ...]`
+(no args = record everything).
 """
 from __future__ import annotations
 
@@ -128,10 +134,23 @@ def _load_synth_weights(model):
             b.data = torch.from_numpy(synth_value(canonical_key(name), b.shape))
 
 
-def _manifest(model):
+def _manifest(model, buffers: bool = False):
+    """Canonical (key, shape) list. ``buffers=True`` additionally records the
+    float buffers `_load_synth_weights` assigned (BatchNorm running stats) so
+    the test side can regenerate them; structural/int buffers (attn_mask,
+    num_batches_tracked) are never part of the synthetic state."""
+    import torch
+
     keys = {}
     for name, p in model.named_parameters():
         keys[canonical_key(name)] = list(p.shape)
+    if buffers:
+        for name, b in model.named_buffers():
+            if b is None or "attn_mask" in name:
+                continue
+            if b.dtype in (torch.int64, torch.int32):
+                continue
+            keys[canonical_key(name)] = list(b.shape)
     return sorted(keys.items())
 
 
@@ -322,6 +341,51 @@ def record_adapted_full():
     )
 
 
+RN_CFG = {
+    # Tuple-typed vision layers select ModifiedResNet (model/model.py:85-93);
+    # heads = width*32 // head_width, attnpool spatial = image_size//32.
+    "embed_dim": 48,
+    "vision_cfg": {"image_size": 64, "layers": [2, 2, 2, 2], "width": 8,
+                   "head_width": 64},
+    "text_cfg": {"context_length": 12, "vocab_size": 128, "width": 32,
+                 "heads": 2, "layers": 2},
+}
+
+
+def record_modified_resnet():
+    """ModifiedResNet tower + RN-config text tower, executed standalone.
+
+    The reference's live ViT path never calls this tower (CLIP.encode_image
+    passes out_layers, which ModifiedResNet.forward does not accept —
+    model/model.py:185-188 vs model/modified_resnet.py:210-217), so the
+    tower is driven directly, covering the 3-conv stem, avg-pool
+    anti-aliased striding, frozen-BN eval statistics, and AttentionPool2d.
+    """
+    import torch
+    from model.model import CLIP
+
+    print("[small_resnet] ModifiedResNet CLIP @ tiny RN config")
+    torch.manual_seed(0)
+    model = CLIP(embed_dim=RN_CFG["embed_dim"],
+                 vision_cfg=RN_CFG["vision_cfg"],
+                 text_cfg=RN_CFG["text_cfg"])
+    model.eval()  # BatchNorm must consume the (synthetic) running stats
+    _load_synth_weights(model)
+    rs = np.random.default_rng(31)
+    x = rs.standard_normal((2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        pooled = model.visual(torch.from_numpy(x))
+    tokens = synth_tokens(3, 12, 128, seed=9)
+    with torch.no_grad():
+        text_out = model.encode_text(torch.from_numpy(tokens))
+    _save(
+        "small_resnet",
+        manifest=_manifest(model, buffers=True), config=RN_CFG,
+        image=x, pooled=pooled.numpy(),
+        tokens=tokens, text_out=text_out.numpy(),
+    )
+
+
 def record_forward_utils():
     import torch
     from forward_utils import (
@@ -367,12 +431,24 @@ def record_forward_utils():
     )
 
 
+RECORDERS = {
+    "small_clip": record_small_clip,
+    "iqm": record_iqm,
+    "forward_utils": record_forward_utils,
+    "adapted_full": record_adapted_full,
+    "small_resnet": record_modified_resnet,
+}
+
+
 def main():
+    names = sys.argv[1:] or list(RECORDERS)
+    unknown = [n for n in names if n not in RECORDERS]
+    if unknown:
+        raise SystemExit(f"unknown fixture(s) {unknown}; "
+                         f"choose from {sorted(RECORDERS)}")
     _stub_modules()
-    record_small_clip()
-    record_iqm()
-    record_forward_utils()
-    record_adapted_full()
+    for n in names:
+        RECORDERS[n]()
     print("done")
 
 
