@@ -121,6 +121,70 @@ def test_text_forward_matches_executed_reference(small_clip):
 
 
 # --------------------------------------------------------------------------
+# Tokenizer + prompt engine vs the executed reference
+# (fixture recorded with the reference's OWN vocab file and its own
+# get_adapted_single_class_text_embedding crossing/pooling code; our side
+# runs the vendored vocab + aa_clip_iqm_tpu.prompts end to end)
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def tokenizer_fx():
+    fx = _load("tokenizer")
+    return fx, _meta(fx, "config_json")
+
+
+def test_prompt_sentences_match_executed_reference(tokenizer_fx):
+    from aa_clip_iqm_tpu import prompts
+
+    fx, raw = tokenizer_fx
+    for ds, cls in raw["classes"]:
+        groups = prompts.class_prompt_sentences(ds, cls)
+        assert [list(g) for g in groups] == raw["sentences"][f"{ds}__{cls}"]
+
+
+def test_prompt_tokens_match_executed_reference(tokenizer_fx):
+    from aa_clip_iqm_tpu.tokenizer import tokenize
+
+    fx, raw = tokenizer_fx
+    for ds, cls in raw["classes"]:
+        key = f"{ds}__{cls}"
+        for gi, kind in enumerate(("normal", "abnormal")):
+            ours = tokenize(raw["sentences"][key][gi])
+            np.testing.assert_array_equal(ours, fx[f"tokens_{key}_{kind}"])
+
+
+def test_tokenize_extra_texts_match_executed_reference(tokenizer_fx):
+    from aa_clip_iqm_tpu.tokenizer import tokenize
+
+    fx, raw = tokenizer_fx
+    np.testing.assert_array_equal(tokenize(raw["extra_texts"]),
+                                  fx["tokens_extra"])
+    np.testing.assert_array_equal(tokenize([raw["long_text"]], truncate=True),
+                                  fx["tokens_truncated"])
+
+
+def test_class_anchor_matches_executed_reference(tokenizer_fx):
+    """Full prompt->anchor pipeline (tokenize, encode, normalize, mean-pool,
+    re-normalize, stack) vs the anchors the reference program computed."""
+    from aa_clip_iqm_tpu import prompts
+
+    fx, raw = tokenizer_fx
+    cfg = _clip_config(raw["clip"])
+    sd = synth_state_dict(_meta(fx, "manifest_json"))
+    params = torch_state_dict_to_params(sd, cfg)
+
+    def encode(tokens):
+        return clip_mod.text_forward(params["text"], cfg.text, tokens,
+                                     act_name=cfg.act)
+
+    for ds, cls in raw["classes"]:
+        anchor = prompts.compute_class_anchor(encode, ds, cls)
+        np.testing.assert_allclose(np.asarray(anchor),
+                                   fx[f"anchor_{ds}__{cls}"],
+                                   rtol=2e-5, atol=2e-5)
+
+
+# --------------------------------------------------------------------------
 # ModifiedResNet tower (executed standalone; the reference's live ViT path
 # never calls it — model/model.py:185-188 passes out_layers, which
 # ModifiedResNet.forward does not accept)

@@ -29,6 +29,9 @@ Reference surfaces driven (file:line):
   * ModifiedResNet.forward (model/modified_resnet.py:132-217) via a CLIP
     built with a tuple-typed vision_cfg.layers (model/model.py:85-93),
     incl. frozen-BN eval statistics
+  * tokenize() (model/tokenizer.py:150-186) + the reference's own
+    prompt-anchor construction get_adapted_single_class_text_embedding
+    (forward_utils.py:138-162) — sentences, token ids and (dim, 2) anchors
 
 Usage: `python tools/record_reference_fixtures.py [fixture_name ...]`
 (no args = record everything).
@@ -341,6 +344,105 @@ def record_adapted_full():
     )
 
 
+TOKENIZER_CFG = {
+    # Real CLIP vocab so genuine token ids embed; tiny text tower otherwise.
+    "embed_dim": 40,
+    "vision_cfg": {"image_size": 28, "patch_size": 7, "width": 32,
+                   "layers": 2, "head_width": 16},
+    "text_cfg": {"context_length": 77, "vocab_size": 49408, "width": 32,
+                 "heads": 2, "layers": 2},
+}
+
+# Classes spanning both prompt branches: REAL_NAMES lookup and the literal
+# "object" stage-1 path (forward_utils.py:139-145).
+PROMPT_CLASSES = [("MVTec", "bottle"), ("MVTec", "zipper"),
+                  ("VisA", "candle"), ("MVTec", "object")]
+
+# Pure printable ASCII with at most singly-escaped HTML entities — the input
+# class on which real ftfy.fix_text is the identity (its transforms: mojibake
+# repair, width folding, quote uncurling, ligatures, NFC — are all no-ops
+# here), so recording with an identity stand-in captures the true reference
+# behavior. Non-ASCII fix_text semantics are pinned separately by
+# tests/test_tokenizer.py's property tests.
+EXTRA_TEXTS = [
+    "",
+    "a photo of a flawless bottle.",
+    "isn't it FLAWED?!  it's fine... maybe;",
+    "  leading and   internal \t whitespace \n runs  ",
+    "R2-D2 has 3 dents & 42% scratches &amp; one chip",
+    "hyphenated-word under_score CamelCase ALLCAPS 100x 0.5mm",
+    "quotes \"double\" and 'single' and `backtick`",
+    "<|startoftext|> literal control token <|endoftext|>",
+]
+LONG_TEXT = "a bottle with a dent and a scratch " * 20  # >77 tokens
+
+
+def record_tokenizer():
+    """Reference tokenize() + the reference's own prompt-anchor construction.
+
+    Drives get_adapted_single_class_text_embedding (forward_utils.py:138-162)
+    with a tiny real-vocab CLIP: the reference code itself builds the prompt
+    cross product, tokenizes it, encodes, normalizes, mean-pools and stacks
+    the (embed_dim, 2) anchor. The sentences are captured by wrapping the
+    module-global tokenize, so the crossing ORDER is the executed reference's
+    too, not a transcription.
+    """
+    import torch
+    from model.model import CLIP
+    from model.tokenizer import tokenize
+
+    import forward_utils as fu
+
+    print("[tokenizer] reference tokenize + prompt-anchor construction")
+    ftfy = sys.modules["ftfy"]
+    saved_fix_text = ftfy.fix_text
+    ftfy.fix_text = lambda s: s  # identity on this corpus; see EXTRA_TEXTS
+    torch.manual_seed(0)
+    model = CLIP(embed_dim=TOKENIZER_CFG["embed_dim"],
+                 vision_cfg=TOKENIZER_CFG["vision_cfg"],
+                 text_cfg=TOKENIZER_CFG["text_cfg"])
+    model.eval()
+    _load_synth_weights(model)
+
+    captured = []
+    orig_tokenize = fu.tokenize
+
+    def capture_tokenize(texts, *a, **k):
+        captured.append(list(texts))
+        return orig_tokenize(texts, *a, **k)
+
+    arrays, sentences = {}, {}
+    fu.tokenize = capture_tokenize
+    try:
+        for ds, cls in PROMPT_CLASSES:
+            captured.clear()
+            with torch.no_grad():
+                anchor = fu.get_adapted_single_class_text_embedding(
+                    model, ds, cls, torch.device("cpu"))
+            assert len(captured) == 2  # normal group, abnormal group
+            key = f"{ds}__{cls}"
+            sentences[key] = [list(g) for g in captured]
+            arrays[f"anchor_{key}"] = anchor.numpy()
+            arrays[f"tokens_{key}_normal"] = tokenize(captured[0]).numpy()
+            arrays[f"tokens_{key}_abnormal"] = tokenize(captured[1]).numpy()
+        arrays["tokens_extra"] = tokenize(EXTRA_TEXTS).numpy()
+        arrays["tokens_truncated"] = tokenize([LONG_TEXT],
+                                              truncate=True).numpy()
+    finally:
+        fu.tokenize = orig_tokenize
+        ftfy.fix_text = saved_fix_text
+    _save(
+        "tokenizer",
+        manifest=_manifest(model),
+        config={"clip": TOKENIZER_CFG,
+                "classes": [list(c) for c in PROMPT_CLASSES],
+                "sentences": sentences,
+                "extra_texts": EXTRA_TEXTS,
+                "long_text": LONG_TEXT},
+        **arrays,
+    )
+
+
 RN_CFG = {
     # Tuple-typed vision layers select ModifiedResNet (model/model.py:85-93);
     # heads = width*32 // head_width, attnpool spatial = image_size//32.
@@ -437,6 +539,7 @@ RECORDERS = {
     "forward_utils": record_forward_utils,
     "adapted_full": record_adapted_full,
     "small_resnet": record_modified_resnet,
+    "tokenizer": record_tokenizer,
 }
 
 
