@@ -284,32 +284,38 @@ def bench_eval():
         os.environ.get("AACLIP_BENCH_QUANT"), cfg=cfg)
     trainable = init_trainable(cfg)
 
+    import shutil
+
     root = tempfile.mkdtemp(prefix="aaclip_bench_eval_")
-    classes = ("widget", "gadget")
-    # 24 images/class -> per class one full batch-16 + an 8-image tail
-    # (exercises the bucket ladder), 48 images total per sweep.
-    generate(root, n_normal=12, n_anomalous=12, size=img,
-             class_names=classes, seed=3, dataset_name="Synth")
-    metadata_root = register_synthetic(root, class_names=classes)
-    datasets = get_dataset("Synth", img, None, -1, "test",
-                           metadata_root=metadata_root,
-                           device_normalize=True)
-    n_images = sum(len(d) for d in datasets.values())
-    eval_cfg = EvalConfig(dataset="Synth", img_size=img, batch_size=batch,
-                          compute_dtype="bfloat16")
+    try:
+        classes = ("widget", "gadget")
+        # 24 images/class -> per class one full batch-16 + an 8-image tail
+        # (exercises the bucket ladder), 48 images total per sweep.
+        generate(root, n_normal=12, n_anomalous=12, size=img,
+                 class_names=classes, seed=3, dataset_name="Synth")
+        metadata_root = register_synthetic(root, class_names=classes)
+        datasets = get_dataset("Synth", img, None, -1, "test",
+                               metadata_root=metadata_root,
+                               device_normalize=True)
+        n_images = sum(len(d) for d in datasets.values())
+        eval_cfg = EvalConfig(dataset="Synth", img_size=img,
+                              batch_size=batch, compute_dtype="bfloat16")
 
-    def sweep():
-        anchors = compute_frozen_anchors(frozen, trainable, cfg, "Synth",
-                                         adapted=False,
-                                         compute_dtype=jnp.bfloat16)
-        return evaluate_dataset(frozen, trainable, cfg, eval_cfg, datasets,
-                                anchors, compute_dtype=jnp.bfloat16,
-                                use_pallas=True)
+        def sweep():
+            anchors = compute_frozen_anchors(frozen, trainable, cfg, "Synth",
+                                             adapted=False,
+                                             compute_dtype=jnp.bfloat16)
+            return evaluate_dataset(frozen, trainable, cfg, eval_cfg,
+                                    datasets, anchors,
+                                    compute_dtype=jnp.bfloat16,
+                                    use_pallas=True)
 
-    sweep()  # warmup: compiles (predict @16 + tail bucket, anchors, metrics)
-    t0 = time.perf_counter()
-    rows = sweep()
-    dt = time.perf_counter() - t0
+        sweep()  # warmup: compiles (predict @16 + tail bucket, metrics)
+        t0 = time.perf_counter()
+        rows = sweep()
+        dt = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
     ips = n_images / dt
     avg = rows[-1]
     print(f"# eval sweep: {n_images} images / {len(classes)} classes in "

@@ -106,8 +106,12 @@ def main():
     if args.quantize_backbone:
         from aa_clip_iqm_tpu.ops.quant import quantize_backbone_auto
 
+        # use_pallas also routes the '+smooth' calibration forward through
+        # the flash kernels (the XLA-attention flagship calibration compile
+        # can outlive the tunnel connection — ops/quant.py).
         frozen = quantize_backbone_auto(frozen, args.quantize_backbone,
-                                        cfg=model_cfg)
+                                        cfg=model_cfg,
+                                        use_pallas=args.use_pallas)
         logger.info("frozen backbone quantized (tier=%s)",
                     args.quantize_backbone)
     trainable = init_trainable(model_cfg, seed=args.seed)

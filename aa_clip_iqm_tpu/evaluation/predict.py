@@ -199,16 +199,11 @@ def _image_metrics_device(pmax, image_scores, labels, valid, n_valid,
     `mixed_labels` is decided on host from the (host) label vector — the
     reference returns 0.0 for single-label classes rather than NaN.
     """
-    from ..ops.metrics import _rank_metrics
+    from ..ops.metrics import _rank_metrics, masked_conditional_minmax
 
     if not mixed_labels:
         return jnp.zeros(()), jnp.zeros(())
-    x = image_scores.astype(jnp.float32)
-    mx = jnp.max(jnp.where(valid, x, -jnp.inf))
-    mn = jnp.min(jnp.where(valid, x, jnp.inf))
-    rng = mx - mn
-    norm = (x - mn) / jnp.where(rng == 0, 1.0, rng)
-    image_preds = jnp.where(mx != 1.0, norm, x)
+    image_preds = masked_conditional_minmax(image_scores, valid)
     combined = pmax if medical else pmax * 0.5 + image_preds * 0.5
     scores = jnp.where(valid, combined, -jnp.inf)
     lab = jnp.where(valid, labels.astype(jnp.float32), 0.0)
@@ -237,8 +232,8 @@ def class_metrics_device(preds, class_name: str, domain: str,
     per class size) — nothing in here blocks on the device. With
     ``defer=True`` the returned row carries the four metrics as a single
     un-fetched device array under "_device" (finalize with
-    :func:`_finalize_row`), so a multi-class sweep can dispatch every
-    class's predict+metrics work before the first host sync.
+    :func:`_finalize_row`), letting a multi-class sweep overlap one class's
+    metric sort with the next class's decode + predict dispatch.
     """
     from ..ops.metrics import pixel_metrics_device
 
@@ -286,6 +281,17 @@ def evaluate_dataset(frozen, trainable, model_cfg: ModelConfig,
     # needs the maps on host, so it uses the host path.
     device_resident = not visualize_dir
     rows = []
+
+    def _settle(row):
+        """Finalize + log a row once the NEXT class's work is dispatched:
+        the metric fetch (already ahead of that class in the device queue)
+        overlaps its host decode, while a mid-sweep failure — e.g. a tunnel
+        outage hours into a flagship run — loses at most one class's row."""
+        row = _finalize_row(row)
+        if logger:
+            logger.info("%s: %s", row["class name"], row)
+        return row
+
     for class_name, dataset in datasets.items():
         preds = predict_class(predict_fn, frozen, trainable, dataset,
                               anchors[class_name], eval_cfg.batch_size,
@@ -293,9 +299,8 @@ def evaluate_dataset(frozen, trainable, model_cfg: ModelConfig,
                               image_score_mode=eval_cfg.image_score_mode,
                               buckets=(eval_cfg.batch_size,) if mesh else None)
         if device_resident:
-            # defer=True: the row holds un-fetched device scalars, so the
-            # next class's host decode + predict dispatch overlaps this
-            # class's metric sort on device; everything syncs once below.
+            # defer=True: the row holds un-fetched device scalars; _settle
+            # syncs it one class later (pipeline depth 1).
             row = class_metrics_device(preds, class_name, domain, defer=True)
         else:
             from .visualize import dump_heatmaps
@@ -307,11 +312,10 @@ def evaluate_dataset(frozen, trainable, model_cfg: ModelConfig,
                 preds["masks"], preds["labels"], preds["maps"],
                 preds["image_scores"], class_name, domain)
         rows.append(row)
-
-    rows = [_finalize_row(r) for r in rows]
-    if logger:
-        for row in rows:
-            logger.info("%s: %s", row["class name"], row)
+        if len(rows) >= 2:
+            rows[-2] = _settle(rows[-2])
+    if rows:
+        rows[-1] = _settle(rows[-1])
 
     metric_keys = ["pixel AUC", "pixel AP", "image AUC", "image AP"]
     avg = {"class name": "Average"}

@@ -98,6 +98,22 @@ def _masked_auroc_ap(scores, labels, n_valid):
     return _rank_metrics(scores, labels, n_valid)
 
 
+def masked_conditional_minmax(x, valid_mask):
+    """The reference's conditional min-max (forward_utils.py:246-253) over
+    the valid entries of a padded array: normalize to [0, 1] unless the raw
+    max is exactly 1.0 (then pass through unchanged). ``valid_mask``
+    broadcasts against ``x``; padded entries get whatever the affine map
+    produces (callers re-mask before use). Shared by the pixel and image
+    device-metric paths so the rng==0 / max!=1 edge semantics can never
+    diverge between them."""
+    x = x.astype(jnp.float32)
+    mx = jnp.max(jnp.where(valid_mask, x, -jnp.inf))
+    mn = jnp.min(jnp.where(valid_mask, x, jnp.inf))
+    rng = mx - mn
+    norm = (x - mn) / jnp.where(rng == 0, 1.0, rng)
+    return jnp.where(mx != 1.0, norm, x)
+
+
 @jax.jit
 def pixel_metrics_device(maps, masks, valid, n_valid):
     """Device-resident per-class pixel metrics + normalized image maxima.
@@ -111,13 +127,8 @@ def pixel_metrics_device(maps, masks, valid, n_valid):
     aggregation input (forward_utils.py:246-282). Only scalars and a (B,)
     vector ever reach the host.
     """
-    maps = maps.astype(jnp.float32)
     v3 = valid[:, None, None]
-    mx = jnp.max(jnp.where(v3, maps, -jnp.inf))
-    mn = jnp.min(jnp.where(v3, maps, jnp.inf))
-    rng = mx - mn
-    norm = (maps - mn) / jnp.where(rng == 0, 1.0, rng)
-    pix = jnp.where(mx != 1.0, norm, maps)  # reference's conditional minmax
+    pix = masked_conditional_minmax(maps, v3)
 
     pmax = jnp.max(pix, axis=(1, 2))
     scores = jnp.where(v3, pix, -jnp.inf).reshape(-1)

@@ -106,6 +106,12 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--use_pallas", action="store_true",
                    help="route the fused kernels (TPU only)")
+    p.add_argument("--tiers",
+                   default="int8,int8+smooth,int8_attn,int8_attn+smooth,"
+                           "int8_mlp,int8_mlp+smooth",
+                   help="comma list of quant tiers to measure; '+smooth' "
+                   "tiers need the calibration forward (skipped with a "
+                   "note if its compile cannot complete)")
     args = p.parse_args()
 
     import jax
@@ -162,24 +168,41 @@ def main():
         maps, scores = predict(frozen_x, trainable, images, anchors)
         return np.asarray(maps, np.float32), np.asarray(scores, np.float32)
 
+    tiers = [t.strip() for t in args.tiers.split(",") if t.strip()]
+    need_stats = any(t.endswith("+smooth") for t in tiers)
+
     hdr = (f"{'factor':>6} {'tier':>16} {'rho_vs_bf16':>11} "
            f"{'score_maxrel':>12} {'dAUROC_pts':>10}")
     print(hdr, flush=True)
     for factor in [float(f) for f in args.factors.split(",")]:
         frozen = inject_ln_gain_outliers(frozen0, channels, factor)
-        stats = calibrate_ln_amax(frozen["visual"], cfg.clip.vision, images,
-                                  act_name=cfg.clip.act,
-                                  compute_dtype=compute_dtype,
-                                  use_pallas=args.use_pallas)
-        ratio = float(np.max(stats["qkv"]) /
-                      max(np.median(stats["qkv"]), 1e-9))
-        print(f"# factor={factor:g}: qkv-input amax max/median = {ratio:.1f}",
-              flush=True)
+        # bf16 reference first: the predict-program compile is the known-
+        # feasible one; calibration (a separate, larger stats-forward
+        # compile that has been observed to outlive the remote tunnel's
+        # connection lifetime) is attempted lazily and non-fatally so the
+        # plain-tier rows always land.
         maps_ref, scores_ref = run(frozen)
         auroc_ref = pixel_auroc(maps_ref, masks)
-        for base in ("int8", "int8_attn", "int8_mlp"):
-            for smooth in (False, True):
-                tier = base + ("+smooth" if smooth else "")
+        stats = None
+        if need_stats:
+            try:
+                stats = calibrate_ln_amax(
+                    frozen["visual"], cfg.clip.vision, images,
+                    act_name=cfg.clip.act, compute_dtype=compute_dtype,
+                    use_pallas=args.use_pallas)
+                ratio = float(np.max(stats["qkv"]) /
+                              max(np.median(stats["qkv"]), 1e-9))
+                print(f"# factor={factor:g}: qkv-input amax max/median = "
+                      f"{ratio:.1f}", flush=True)
+            except Exception as exc:
+                print(f"# factor={factor:g}: calibration failed ({exc}); "
+                      "skipping ratio + '+smooth' tiers", flush=True)
+        for tier in tiers:
+                smooth = tier.endswith("+smooth")
+                if smooth and stats is None:
+                    print(f"{factor:>6g} {tier:>16} SKIPPED: no calibration",
+                          flush=True)
+                    continue
                 try:
                     q = quantize_backbone_tier(
                         frozen, tier,

@@ -101,20 +101,32 @@ def build_parser():
     return p
 
 
-def _calibration_batch(args, logger, n: int = 8):
-    """Up to n host-normalized test images from the first requested dataset
-    (first class) for the int8 outlier diagnostic; a seeded random batch
-    when no data is reachable (LN-gain-driven outliers are input-
-    independent, so the diagnostic is still indicative — logged as such)."""
+def _build_datasets(args, name, logger):
+    """Per-class eval datasets (uint8 images, device-side normalization)."""
+    from aa_clip_iqm_tpu.data.datasets import get_dataset
+
+    return get_dataset(name, args.img_size, None, -1, "test",
+                       logger=logger, metadata_root=args.metadata_root,
+                       device_normalize=True)
+
+
+def _calibration_batch(datasets, args, logger, n: int = 8):
+    """Up to n host-normalized test images from the (pre-built) first
+    requested dataset's first class for the int8 outlier diagnostic; a
+    seeded random batch when no data is reachable (LN-gain-driven outliers
+    are input-independent, so the diagnostic is still indicative — logged
+    as such). The uint8 images the eval datasets ship are normalized on
+    host here (the calibration forward takes CLIP-normalized fp32)."""
     import numpy as np
 
     try:
-        from aa_clip_iqm_tpu.data.datasets import get_dataset
+        from aa_clip_iqm_tpu.data.datasets import normalize_clip
 
-        datasets = get_dataset(args.datasets[0], args.img_size, None, -1,
-                               "test", metadata_root=args.metadata_root)
         ds = next(iter(datasets.values()))
-        return np.stack([ds[i]["image"] for i in range(min(n, len(ds)))])
+        imgs = np.stack([ds[i]["image"] for i in range(min(n, len(ds)))])
+        if imgs.dtype == np.uint8:
+            imgs = normalize_clip(imgs.astype(np.float32) / 255.0)
+        return imgs.astype(np.float32)
     except Exception as exc:
         logger.warning("calibration falling back to a random batch "
                        "(real images unreachable: %s)", exc)
@@ -124,9 +136,8 @@ def _calibration_batch(args, logger, n: int = 8):
 
 
 def run_dataset(args, dataset, frozen, trainable, model_cfg, adapt_text,
-                dtype, logger):
+                dtype, logger, datasets=None):
     from aa_clip_iqm_tpu.configs import EvalConfig
-    from aa_clip_iqm_tpu.data.datasets import get_dataset
     from aa_clip_iqm_tpu.evaluation.predict import (
         evaluate_dataset,
         results_table,
@@ -135,9 +146,8 @@ def run_dataset(args, dataset, frozen, trainable, model_cfg, adapt_text,
 
     anchors = compute_frozen_anchors(frozen, trainable, model_cfg, dataset,
                                      adapted=adapt_text, compute_dtype=dtype)
-    datasets = get_dataset(dataset, args.img_size, None, -1, "test",
-                           logger=logger, metadata_root=args.metadata_root,
-                           device_normalize=True)
+    if datasets is None:
+        datasets = _build_datasets(args, dataset, logger)
     eval_cfg = EvalConfig(
         dataset=dataset, img_size=args.img_size,
         batch_size=args.image_batch_size, seed=args.seed,
@@ -209,19 +219,30 @@ def main(argv=None):
     # ratio. This is the number the serving-default decision reads off the
     # real-weights run.
     outlier_ratios = None
+    # Built once: the calibration batch below and the first dataset's eval
+    # sweep share the same per-class datasets (no duplicate metadata load).
+    try:
+        first_datasets = _build_datasets(args, args.datasets[0], logger)
+    except Exception as exc:
+        logger.warning("could not build %s datasets for calibration: %s",
+                       args.datasets[0], exc)
+        first_datasets = None
     try:
         from aa_clip_iqm_tpu.ops.quant import (
             activation_outlier_ratio,
             calibrate_ln_amax,
         )
 
-        calib = _calibration_batch(args, logger)
+        calib = _calibration_batch(first_datasets or {}, args, logger)
         stats = calibrate_ln_amax(
             frozen["visual"], model_cfg.clip.vision, calib,
             act_name=model_cfg.clip.act,
             adapters=trainable["image_adapter"]["layer_adapters"],
             adapter_weight=model_cfg.adapter.image_adapt_weight,
-            adapt_until=model_cfg.adapter.image_adapt_until)
+            adapt_until=model_cfg.adapter.image_adapt_until,
+            # Pallas attention for the flagship calibration program: the
+            # XLA-attention remote compile can outlive the tunnel (quant.py).
+            use_pallas=args.use_pallas)
         outlier_ratios = activation_outlier_ratio(stats)
         logger.info("int8 outlier diagnostic (amax max/median per site): %s",
                     outlier_ratios)
@@ -232,7 +253,8 @@ def main(argv=None):
         from aa_clip_iqm_tpu.ops.quant import quantize_backbone_auto
 
         frozen = quantize_backbone_auto(frozen, args.quantize_backbone,
-                                        cfg=model_cfg, trainable=trainable)
+                                        cfg=model_cfg, trainable=trainable,
+                                        use_pallas=args.use_pallas)
         weights_mode += f" + quantized backbone ({args.quantize_backbone})"
 
     anchor_table = {}
@@ -265,8 +287,11 @@ def main(argv=None):
         f"{outlier_ratios} — docs/DESIGN.md go/no-go rule", "",
     ]
     for dataset in args.datasets:
+        prebuilt = (first_datasets
+                    if dataset == args.datasets[0] else None)
         rows, table = run_dataset(args, dataset, frozen, trainable,
-                                  model_cfg, adapt_text, dtype, logger)
+                                  model_cfg, adapt_text, dtype, logger,
+                                  datasets=prebuilt)
         with open(os.path.join(args.out, f"{dataset}.json"), "w") as f:
             json.dump(rows, f, indent=1)
         with open(os.path.join(args.out, f"{dataset}.txt"), "w") as f:
