@@ -55,6 +55,11 @@ def build_parser():
     parser.add_argument("--keep_checkpoints", type=int, default=0,
                         help="keep only the last N numbered stage-2 "
                         "checkpoints (0 = keep all, the reference behavior)")
+    parser.add_argument("--checkpoint_every_steps", type=int, default=0,
+                        help="mid-epoch step-checkpoint interval for both "
+                        "stages (0 = epoch-only, the reference behavior); "
+                        "an interrupted run resumes at (epoch, step) with "
+                        "bit-identical results")
     # hyper-parameters
     parser.add_argument("--text_norm_weight", type=float, default=0.1)
     parser.add_argument("--text_adapt_weight", type=float, default=0.1)
@@ -129,6 +134,7 @@ def main():
         save_path=args.save_path, compute_dtype=args.compute_dtype,
         torch_lr_quirk=args.torch_lr_quirk, remat=args.remat,
         keep_checkpoints=args.keep_checkpoints,
+        checkpoint_every_steps=args.checkpoint_every_steps,
         clip_grad_norm=args.clip_grad_norm,
     )
     if args.debug_nans:

@@ -195,6 +195,14 @@ class TrainConfig:
     # Keep only the last N numbered stage-2 checkpoints (0 = keep all, the
     # reference's behavior of one file per epoch).
     keep_checkpoints: int = 0
+    # Mid-epoch checkpoint interval in steps for BOTH stages (0 = off, the
+    # reference's epoch-only granularity, train.py:105-113/225-236). When
+    # set, an interrupted run resumes at (epoch, step) with bit-identical
+    # results vs an uninterrupted one (tests/test_step_checkpoint.py):
+    # epoch data order is a pure function of (seed, epoch). Each save is a
+    # synchronous host fetch of params+opt state, so size the interval to
+    # minutes of step time, not single steps.
+    checkpoint_every_steps: int = 0
 
 
 @dataclass

@@ -267,6 +267,43 @@ class TrainDataset:
             "class_name": meta["class_name"],
         }
 
+    def epoch_batches(self, epoch: int, batch_size: int,
+                      start_batch: int = 0, drop_last: bool = False):
+        """Deterministic per-epoch batch stream for resumable training.
+
+        The shuffle order derives from (seed, epoch) and every sample's
+        augmentation RNG from (seed, epoch, position-in-epoch), so the
+        stream is a pure function of (dataset seed, epoch): a run resumed
+        mid-epoch skips ``start_batch`` batches and continues with
+        bit-identical data, and the output is identical whether samples
+        decode serially or on the AACLIP_DATA_WORKERS thread pool. The
+        reference can only resume at epoch granularity
+        (train.py:356-375); this is the in-epoch tier the training driver
+        builds step checkpoints on.
+
+        ``start_batch`` skips whole batches without decoding them (the
+        shuffle order is cheap; the expensive decode/augment work only
+        happens for batches actually yielded)."""
+        order = np.arange(len(self.meta))
+        rng = np.random.default_rng((self.seed, epoch))
+        rng.shuffle(order)
+        workers = _data_workers()
+        for b, start in enumerate(range(0, len(order), batch_size)):
+            idxs = order[start:start + batch_size]
+            if drop_last and len(idxs) < batch_size:
+                break
+            if b < start_batch:
+                continue
+            jobs = [(int(i),
+                     np.random.default_rng((self.seed, epoch, start + j)))
+                    for j, i in enumerate(idxs)]
+            if workers > 1:
+                items = list(_executor(workers).map(
+                    lambda job: self._get(*job), jobs))
+            else:
+                items = [self._get(*job) for job in jobs]
+            yield collate(items)
+
     def batches(self, batch_size: int, shuffle: bool = True, drop_last: bool = False):
         """With AACLIP_DATA_WORKERS>1, samples decode/augment on the thread
         pool with per-sample counter-derived RNG streams — deterministic for

@@ -13,9 +13,19 @@ reconstructing optimizer templates:
   save_path/text_adapter/{params,opt}
   save_path/image_adapter/{params,opt}        (rolling resume point)
   save_path/image_adapter_{N}/{params,opt}    (per-epoch)
+  save_path/{text,image}_adapter_step/{params,opt}  (opt-in mid-epoch tier)
 
 Fixing survey Q1: the stage-2 checkpoint contains the *full* trainable pytree
 (IQM family included), not just the image adapter.
+
+The step tier (TrainConfig.checkpoint_every_steps > 0) has no reference
+analogue: this host's documented failure mode is multi-hour TPU-tunnel
+outages while a flagship-scale epoch is itself hours, so epoch granularity
+can lose an epoch of work. A step checkpoint records {epoch, step, params,
+opt_state}; the driver resumes at (epoch, step) by re-deriving the epoch's
+data order from (seed, epoch) (datasets.TrainDataset.epoch_batches) and
+skipping the consumed batches. Completing an epoch clears the step
+checkpoint — a surviving one always refers to the in-progress epoch.
 """
 from __future__ import annotations
 
@@ -57,6 +67,49 @@ def _load_pair(base: str, template_params, template_opt):
         out["opt_state"] = restore_state(os.path.join(base, "opt"),
                                          template_opt)
     return out
+
+
+def _step_dir(save_path: str, stage: str) -> str:
+    return os.path.join(save_path,
+                        {"stage1": "text_adapter_step",
+                         "stage2": "image_adapter_step"}[stage])
+
+
+def save_step(save_path: str, stage: str, epoch: int, step: int, params,
+              opt_state):
+    """Mid-epoch step checkpoint: params + optimizer state + (epoch, step).
+
+    ``step`` counts COMPLETED steps inside ``epoch`` — resume continues at
+    batch index ``step`` of that epoch's deterministic order."""
+    base = _step_dir(save_path, stage)
+    save_state(os.path.join(base, "params"),
+               {"epoch": epoch, "step": step, "params": params})
+    save_state(os.path.join(base, "opt"), opt_state)
+
+
+def load_step(save_path: str, stage: str, template_params, template_opt):
+    """Returns {epoch, step, params, opt_state} or None. Unlike the epoch
+    tier, the optimizer state is mandatory: resuming mid-epoch with a fresh
+    optimizer would silently diverge from the uninterrupted run."""
+    base = _step_dir(save_path, stage)
+    if not (os.path.isdir(os.path.join(base, "params"))
+            and os.path.isdir(os.path.join(base, "opt"))):
+        return None
+    restored = restore_state(os.path.join(base, "params"),
+                             {"epoch": 0, "step": 0,
+                              "params": template_params})
+    return {"epoch": int(restored["epoch"]), "step": int(restored["step"]),
+            "params": restored["params"],
+            "opt_state": restore_state(os.path.join(base, "opt"),
+                                       template_opt)}
+
+
+def clear_step(save_path: str, stage: str):
+    """Drop the step checkpoint (called after each completed epoch so a
+    surviving step checkpoint always belongs to the in-progress epoch)."""
+    import shutil
+
+    shutil.rmtree(_step_dir(save_path, stage), ignore_errors=True)
 
 
 def save_stage1(save_path: str, epoch: int, text_adapter, opt_state):

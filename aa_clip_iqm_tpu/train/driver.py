@@ -8,10 +8,26 @@ run_training(frozen, model_cfg, train_cfg) executes:
 Data parallelism: when a mesh is provided, batches are sharded over its
 'data' axis and the jitted steps carry sharding annotations (XLA inserts the
 gradient psums over ICI).
+
+Resumability: both stages resume at epoch granularity from the rolling
+checkpoint (reference train.py:356-375 semantics), and — with
+TrainConfig.checkpoint_every_steps > 0 — at STEP granularity from the step
+tier (checkpoint.save_step). In-epoch resume is exact because each epoch's
+batch stream is a pure function of (dataset seed, epoch)
+(TrainDataset.epoch_batches) and the per-step patch-dropout key is
+fold_in(fold_in(seed, epoch), step) — no sequential RNG state survives an
+interruption.
+
+Observability: per-step {stage, epoch, step, loss, lr, wall_ms} rows append
+to {save_path}/scalars.jsonl at each epoch end (SURVEY §5). Losses stay on
+device during the epoch and are fetched in ONE transfer — the step loop
+never synchronizes.
 """
 from __future__ import annotations
 
 import functools
+import json
+import os
 import time
 from typing import Dict, Optional
 
@@ -52,6 +68,45 @@ def _pad_batch(batch, multiple: int):
     return out, n
 
 
+def _append_scalars(save_path: str, stage: str, epoch: int, first_step: int,
+                    loss_host, lrs, wall_ms):
+    """Append per-step scalar rows to {save_path}/scalars.jsonl.
+
+    Schema (pinned by tests/test_step_checkpoint.py):
+      {"stage", "epoch", "step", "loss", "lr", "wall_ms"}
+    step is the batch index within the epoch. wall_ms is host
+    dispatch-to-dispatch time: dispatch is async, so early steps read fast,
+    but once the in-flight pipeline fills the host is backpressured to the
+    true device step rate — epoch-mean wall_ms is the real step time.
+    """
+    os.makedirs(save_path, exist_ok=True)
+    with open(os.path.join(save_path, "scalars.jsonl"), "a") as f:
+        for i, loss in enumerate(np.asarray(loss_host, np.float64)):
+            f.write(json.dumps({
+                "stage": stage, "epoch": int(epoch),
+                "step": int(first_step + i), "loss": float(loss),
+                "lr": float(np.asarray(lrs)[i]),
+                "wall_ms": round(float(wall_ms[i]), 3)}) + "\n")
+
+
+def _load_step_resume(train_cfg: TrainConfig, stage: str, params, opt_state,
+                      start_epoch: int, logger):
+    """Mid-epoch resume point, if one exists for the in-progress epoch.
+
+    Returns (params, opt_state, start_epoch, start_step). A step checkpoint
+    from an already-completed epoch (possible only if the post-epoch
+    clear_step was lost to a crash) is ignored — the epoch tier wins."""
+    if train_cfg.checkpoint_every_steps <= 0:
+        return params, opt_state, start_epoch, 0
+    restored = ckpt.load_step(train_cfg.save_path, stage, params, opt_state)
+    if restored is None or restored["epoch"] < start_epoch:
+        return params, opt_state, start_epoch, 0
+    logger.info("resumed %s mid-epoch at epoch %d step %d", stage,
+                restored["epoch"], restored["step"])
+    return (restored["params"], restored["opt_state"], restored["epoch"],
+            restored["step"])
+
+
 def run_stage1(frozen, trainable, model_cfg: ModelConfig,
                train_cfg: TrainConfig, text_dataset, logger,
                mesh=None, use_pallas: bool = False):
@@ -73,6 +128,8 @@ def run_stage1(frozen, trainable, model_cfg: ModelConfig,
             opt_state = restored["opt_state"]
         start_epoch = restored["epoch"]
         logger.info("resumed stage 1 from epoch %d", start_epoch)
+    text_params, opt_state, start_epoch, start_step = _load_step_resume(
+        train_cfg, "stage1", text_params, opt_state, start_epoch, logger)
 
     visual_fn = steps.make_stage1_visual_fn(
         model_cfg, compute_dtype=dtype, use_pallas=use_pallas, mesh=mesh)
@@ -81,12 +138,16 @@ def run_stage1(frozen, trainable, model_cfg: ModelConfig,
         tx, compute_dtype=dtype, mesh=mesh)
 
     n_dev = 1 if mesh is None else mesh.devices.size
+    every = train_cfg.checkpoint_every_steps
     for epoch in range(start_epoch, train_cfg.text_epoch):
+        first = start_step if epoch == start_epoch else 0
         logger.info("training text epoch %d:", epoch)
-        losses = []
+        losses, wall_ms = [], []
         t0 = time.time()
-        for batch in prefetch(text_dataset.batches(
-                train_cfg.text_batch_size, shuffle=True)):
+        t_prev = time.perf_counter()
+        for i, batch in enumerate(prefetch(text_dataset.epoch_batches(
+                epoch, train_cfg.text_batch_size, start_batch=first))):
+            step = first + i
             batch, n_valid = _pad_batch(batch, n_dev)
             images = jnp.asarray(batch["image"])
             masks = jnp.asarray(batch["mask"])
@@ -101,9 +162,25 @@ def run_stage1(frozen, trainable, model_cfg: ModelConfig,
             # keep the loss on device: fetching per step would synchronize
             # the dispatch pipeline every iteration
             losses.append(loss)
-        mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
+            now = time.perf_counter()
+            wall_ms.append((now - t_prev) * 1e3)
+            t_prev = now
+            if every > 0 and (step + 1) % every == 0:
+                ckpt.save_step(train_cfg.save_path, "stage1", epoch, step + 1,
+                               text_params, opt_state)
+                t_prev = time.perf_counter()  # exclude the save from wall_ms
+        if losses:
+            loss_host = np.asarray(jnp.stack(losses))  # ONE device fetch
+            mean_loss = float(loss_host.mean())
+            _append_scalars(train_cfg.save_path, "stage1", epoch, first,
+                            loss_host, np.full(len(losses), train_cfg.text_lr),
+                            wall_ms)
+        else:
+            mean_loss = float("nan")
         logger.info("loss: %f (%.1fs)", mean_loss, time.time() - t0)
         ckpt.save_stage1(train_cfg.save_path, epoch + 1, text_params, opt_state)
+        if every > 0:
+            ckpt.clear_step(train_cfg.save_path, "stage1")
 
     trainable = dict(trainable)
     trainable["text_adapter"] = text_params
@@ -178,6 +255,14 @@ def run_stage2(frozen, trainable, model_cfg: ModelConfig,
             opt_state = restored["opt_state"]
         start_epoch = restored["epoch"]
         logger.info("resumed stage 2 from epoch %d", start_epoch)
+    trainable, opt_state, start_epoch, start_step = _load_step_resume(
+        train_cfg, "stage2", trainable, opt_state, start_epoch, logger)
+    # The image-group LR curve, re-evaluated on host for the scalars rows
+    # (same construction the optimizer holds, optim.stage2_optimizer).
+    lr_sched = optim.cosine_annealing(
+        train_cfg.image_lr, total_steps,
+        torch_quirk_period_steps=(train_cfg.image_epoch
+                                  if train_cfg.torch_lr_quirk else None))
 
     step_fn = steps.make_stage2_step(
         model_cfg, train_cfg, tx, compute_dtype=dtype, use_pallas=use_pallas,
@@ -192,18 +277,22 @@ def run_stage2(frozen, trainable, model_cfg: ModelConfig,
     patch_drop = model_cfg.clip.vision.patch_dropout > 0.0
 
     n_dev = 1 if mesh is None else mesh.devices.size
+    every = train_cfg.checkpoint_every_steps
     for epoch in range(start_epoch, train_cfg.image_epoch):
+        first = start_step if epoch == start_epoch else 0
         logger.info("training image epoch %d:", epoch)
         if patch_drop:
-            # Per-epoch key derivation: a resumed run (start_epoch > 0)
-            # continues the dropout-mask sequence at its epoch instead of
-            # replaying the sequence from epoch 0.
+            # Per-epoch base key; the per-step key is fold_in(base, step) so
+            # a mid-epoch resume re-derives the exact mask sequence without
+            # replaying the consumed steps' splits.
             drop_rng = jax.random.fold_in(
                 jax.random.PRNGKey(train_cfg.seed), epoch)
-        losses = []
+        losses, wall_ms = [], []
         t0 = time.time()
-        for batch in prefetch(image_dataset.batches(
-                train_cfg.image_batch_size, shuffle=True)):
+        t_prev = time.perf_counter()
+        for i, batch in enumerate(prefetch(image_dataset.epoch_batches(
+                epoch, train_cfg.image_batch_size, start_batch=first))):
+            step = first + i
             batch, n_valid = _pad_batch(batch, n_dev)
             anchor_stack = jnp.stack(
                 [anchors[c] for c in batch["class_name"]], axis=0)
@@ -215,15 +304,33 @@ def run_stage2(frozen, trainable, model_cfg: ModelConfig,
                          jnp.asarray(batch["mask"]),
                          jnp.asarray(batch["label"]), anchor_stack, weights)
             if patch_drop:
-                drop_rng, key = jax.random.split(drop_rng)
-                trainable, opt_state, loss = step_fn(*step_args, key)
+                trainable, opt_state, loss = step_fn(
+                    *step_args, jax.random.fold_in(drop_rng, step))
             else:
                 trainable, opt_state, loss = step_fn(*step_args)
             losses.append(loss)
-        mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
+            now = time.perf_counter()
+            wall_ms.append((now - t_prev) * 1e3)
+            t_prev = now
+            if every > 0 and (step + 1) % every == 0:
+                ckpt.save_step(train_cfg.save_path, "stage2", epoch, step + 1,
+                               trainable, opt_state)
+                t_prev = time.perf_counter()  # exclude the save from wall_ms
+        if losses:
+            loss_host = np.asarray(jnp.stack(losses))  # ONE device fetch
+            mean_loss = float(loss_host.mean())
+            g0 = epoch * steps_per_epoch + first
+            _append_scalars(train_cfg.save_path, "stage2", epoch, first,
+                            loss_host,
+                            lr_sched(jnp.arange(g0, g0 + len(losses))),
+                            wall_ms)
+        else:
+            mean_loss = float("nan")
         logger.info("loss: %f (%.1fs)", mean_loss, time.time() - t0)
         ckpt.save_stage2(train_cfg.save_path, epoch + 1, trainable, opt_state,
                          keep_last=train_cfg.keep_checkpoints)
+        if every > 0:
+            ckpt.clear_step(train_cfg.save_path, "stage2")
     return trainable
 
 
