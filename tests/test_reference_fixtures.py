@@ -12,8 +12,10 @@ Covered reference surfaces: CLIP.encode_image/encode_text
 (model/model.py:185-201), DAPM_replace surgery with the executed batch-axis
 v-v attention (model/transformer.py:102-152,406-425 — survey Q9),
 IQM.forward (model/iqm.py:497-673), AdaptedCLIP.forward/encode_text at the
-live ViT-L geometry (model/adapter.py:137-304), and forward_utils'
-similarity-map/seg-loss/metrics math (forward_utils.py:196-308).
+live ViT-L geometry (model/adapter.py:137-304), forward_utils'
+similarity-map/seg-loss/metrics math (forward_utils.py:196-308), and the
+eval driver's executed IQM-map/fusion/broadcast-score math
+(test_last.py:53-158 via get_predictions itself).
 """
 import json
 import os
@@ -490,3 +492,41 @@ def test_metrics_eval_matches_executed_reference(domain, key):
     got = np.asarray([res["pixel AUC"], res["pixel AP"],
                       res["image AUC"], res["image AP"]])
     np.testing.assert_allclose(got, fx[key], atol=0.011)
+
+
+# --------------------------------------------------------------------------
+# eval driver map math (test_last.get_predictions, executed)
+# --------------------------------------------------------------------------
+
+def test_eval_maps_match_executed_reference():
+    """The reference EVAL driver itself (test_last.py:53-158) produced this
+    fixture: IQM query maps through the executed fresh-Linear projection
+    (survey Q2), sigmoid cosine differences, align_corners=False upsample,
+    the 0.6/0.4 fusion, and the (B,B,2)-broadcast image score (survey Q11).
+    The only substituted piece was the kornia-dependent text-map call, whose
+    synthetic outputs are fixture INPUTS here."""
+    fx = _load("eval_maps")
+    cfg = _meta(fx, "config_json")
+    img = cfg["img"]
+    queries = jnp.asarray(fx["queries"])                     # (B, 2, dq)
+    # torch nn.Linear: x @ W.T + b
+    q_proj = jnp.einsum("bqd,fd->bqf", queries,
+                        jnp.asarray(fx["proj_w"])) + jnp.asarray(fx["proj_b"])
+    iqm_maps, text_maps = [], []
+    for i in range(cfg["levels"]):
+        iqm_maps.append(scoring.iqm_score_map(
+            jnp.asarray(fx[f"feat_{i}"]), q_proj, img, align_corners=False))
+        text_maps.append(jnp.asarray(fx[f"text_map_{i}"])[:, 0])
+    final = scoring.fuse_maps(text_maps, iqm_maps)
+    np.testing.assert_allclose(np.asarray(final), fx["preds"][:, 0],
+                               rtol=2e-5, atol=2e-6)
+
+    b = fx["det"].shape[0]
+    anchors = jnp.broadcast_to(jnp.asarray(fx["anchors"])[None],
+                               (b, *fx["anchors"].shape))
+    score = scoring.image_logit_reference_eval(jnp.asarray(fx["det"]),
+                                               anchors)
+    # metrics_eval keeps channel 0 of the recorded (B, 2) image preds —
+    # the NORMAL anchor (forward_utils.py:269-271).
+    np.testing.assert_allclose(np.asarray(score), fx["preds_image"][:, 0],
+                               rtol=1e-5, atol=1e-6)

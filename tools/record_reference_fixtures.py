@@ -32,6 +32,11 @@ Reference surfaces driven (file:line):
   * tokenize() (model/tokenizer.py:150-186) + the reference's own
     prompt-anchor construction get_adapted_single_class_text_embedding
     (forward_utils.py:138-162) — sentences, token ids and (dim, 2) anchors
+  * test_last.get_predictions (test_last.py:53-158): the EVAL-path IQM
+    query maps (fresh per-batch Linear projection — survey Q2 — cosine
+    sims, sigmoid, align_corners=False upsample), the 0.6/0.4 map fusion,
+    and the broadcast image score (survey Q11), with only the
+    kornia-dependent text-map call substituted by synthetic maps
 
 Usage: `python tools/record_reference_fixtures.py [fixture_name ...]`
 (no args = record everything).
@@ -533,6 +538,98 @@ def record_forward_utils():
     )
 
 
+def record_eval_maps():
+    """Execute the reference EVAL driver's map math (test_last.py:53-158).
+
+    Drives `test_last.get_predictions` itself with a stub AdaptedCLIP that
+    returns fixed (patch_features, det_feature, iqm_outputs) and a one-batch
+    loader. The ONE substitution is `calculate_similarity_map` (its test
+    branch needs kornia's gaussian_blur2d, uninstallable here): it returns
+    pre-generated synthetic text maps, which the fixture records as inputs.
+    Everything else that runs is the reference's own executed code:
+      - the (B,B,2) broadcast image score `(pred[:,1]+1)/2`
+        (test_last.py:90-92, survey Q11);
+      - the IQM branch (test_last.py:104-138): query extraction, the fresh
+        `nn.Linear` projection created on the first level and implicitly
+        reused after (norm_query is REBOUND to the projected dim — survey
+        Q2 as executed), cosine sims, sigmoid, reshape, bilinear
+        align_corners=False upsample;
+      - the 0.6/0.4 fusion over level sums (test_last.py:141-149).
+    The projection weights are regenerated post-hoc by replaying the torch
+    RNG (manual_seed + one nn.Linear construction — nothing else in the
+    driven path consumes RNG) and saved for the JAX side.
+    """
+    import torch
+    import torch.nn as nn
+
+    import test_last
+
+    print("[eval_maps] test_last.get_predictions IQM maps + fusion + score")
+    B, L, img = 2, 25, 20
+    d_feat, d_query, d_embed = 48, 32, 40
+    levels = 2
+    rs = np.random.default_rng(55)
+    feats = [rs.standard_normal((B, L, d_feat)).astype(np.float32)
+             for _ in range(levels)]
+    det = rs.standard_normal((B, d_embed)).astype(np.float32)
+    queries = rs.standard_normal((B, 2, d_query)).astype(np.float32)
+    anchors = rs.standard_normal((d_embed, 2)).astype(np.float32)
+    anchors /= np.linalg.norm(anchors, axis=0, keepdims=True)
+    text_maps = [rs.standard_normal((B, 1, img, img)).astype(np.float32)
+                 for _ in range(levels)]
+
+    class StubAdapted(nn.Module):
+        def forward(self, image, text_embeddings=None):
+            out = types.SimpleNamespace(
+                last_hidden_state=torch.from_numpy(queries))
+            return ([torch.from_numpy(f) for f in feats],
+                    torch.from_numpy(det), out)
+
+    calls = []
+
+    def fake_similarity_map(f, emb, img_size, test=False, domain=None):
+        calls.append((np.asarray(f.detach()), bool(test), domain))
+        return torch.from_numpy(text_maps[len(calls) - 1])
+
+    loader = [{
+        "image": torch.zeros((B, 3, img, img)),
+        "mask": torch.from_numpy(
+            (rs.random((B, 1, img, img)) < 0.2).astype(np.float32)),
+        "label": torch.from_numpy(np.array([0, 1], np.int64)),
+        "file_name": ["a.png", "b.png"],
+        "class_name": ["widget"] * B,
+    }]
+
+    saved = test_last.calculate_similarity_map
+    test_last.calculate_similarity_map = fake_similarity_map
+    try:
+        torch.manual_seed(7)
+        masks, labels, preds, preds_image, file_names = \
+            test_last.get_predictions(
+                StubAdapted(), torch.from_numpy(anchors), loader,
+                torch.device("cpu"), img, dataset="MVTec")
+    finally:
+        test_last.calculate_similarity_map = saved
+    assert len(calls) == levels and all(c[1] for c in calls)
+    # Replay the RNG to recover the fresh projection's weights: the driven
+    # path creates exactly one nn.Linear(d_query, d_feat) after the seed.
+    torch.manual_seed(7)
+    proj = nn.Linear(d_query, d_feat)
+    _save(
+        "eval_maps",
+        config={"B": B, "L": L, "img": img, "levels": levels,
+                "d_feat": d_feat, "d_query": d_query, "d_embed": d_embed,
+                "file_names": list(file_names)},
+        **{f"feat_{i}": f for i, f in enumerate(feats)},
+        **{f"text_map_{i}": m for i, m in enumerate(text_maps)},
+        det=det, queries=queries, anchors=anchors,
+        proj_w=proj.weight.detach().numpy(),
+        proj_b=proj.bias.detach().numpy(),
+        preds=preds, preds_image=preds_image,
+        masks=masks, labels=labels,
+    )
+
+
 RECORDERS = {
     "small_clip": record_small_clip,
     "iqm": record_iqm,
@@ -540,6 +637,7 @@ RECORDERS = {
     "adapted_full": record_adapted_full,
     "small_resnet": record_modified_resnet,
     "tokenizer": record_tokenizer,
+    "eval_maps": record_eval_maps,
 }
 
 
