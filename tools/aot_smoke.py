@@ -14,7 +14,14 @@ partitioner failures at real scale surface without 8 real chips.
 Programs compiled:
   1. stage-2 training step (bf16, remat off), global batch 8, DP over 4
      'data' devices x TP-sharded frozen backbone over 2 'model' devices;
-  2. the fused predict program (eval pipeline), DP batch 8.
+  2. the fused predict program (eval pipeline), DP batch 8;
+  3. the stage-2 step on the DCN tier: a ('replica','data','model') =
+     2x2x2 multislice mesh (slice axis outermost — parallel/mesh.py), TP
+     backbone, batch sharded over replica x data;
+  4. the predict program batch-sharded over BOTH DP tiers of that mesh.
+Programs 3-4 are the multislice shardings no flagship-shape tensor had ever
+been partitioned under (VERDICT r4 weak item 4): a GSPMD surprise on the
+'replica' axis would otherwise first appear on a real pod.
 
 Pallas kernels are swapped for the XLA attention path (Mosaic compiles only
 on TPU); the sharding layer under test is identical either way.
@@ -134,7 +141,56 @@ def main():
     compiled = lowered.compile()
     print(f"predict: lower {t_lower:.1f}s, compile {time.time() - t0:.1f}s, "
           f"flops={compiled.cost_analysis().get('flops', float('nan')):.3g}")
-    print("AOT smoke OK: ViT-L/518 DP(+TP) programs partition and compile")
+
+    # 3) the DCN tier at flagship shape: stage-2 step on a 2x2x2
+    # ('replica','data','model') multislice mesh. Batch axes shard over
+    # replica x data (4-way), backbone params TP over 'model'; GSPMD routes
+    # the gradient psum over the outermost (DCN) axis.
+    ms_mesh = mesh_mod.make_multislice_mesh(n_slices=2, n_data=2, n_model=2)
+    ms_rep = mesh_mod.replicated(ms_mesh)
+    ms_dat = mesh_mod.batch_sharding(ms_mesh)
+    frozen_ms = with_sharding(
+        frozen_s, mesh_mod.backbone_param_sharding(ms_mesh, frozen_s))
+    trainable_ms = with_sharding(
+        trainable_s, jax.tree.map(lambda _: ms_rep, trainable_s))
+    opt_ms = with_sharding(opt_s, jax.tree.map(lambda _: ms_rep, opt_s))
+
+    def ms_bstruct(shape, dtype):
+        return jax.ShapeDtypeStruct(shape, dtype, sharding=ms_dat)
+
+    ms_args = (ms_bstruct((b, 3, img, img), jnp.float32),
+               ms_bstruct((b, 1, img, img), jnp.float32),
+               ms_bstruct((b,), jnp.int64),
+               ms_bstruct((b, cfg.clip.embed_dim, 2), jnp.float32),
+               ms_bstruct((b,), jnp.float32))
+    ms_step = steps.make_stage2_step(cfg, train_cfg, tx,
+                                     compute_dtype=jnp.bfloat16)
+    t0 = time.time()
+    lowered = ms_step.lower(trainable_ms, opt_ms, frozen_ms, *ms_args)
+    t_lower = time.time() - t0
+    t0 = time.time()
+    compiled = lowered.compile()
+    print(f"stage2_step_multislice(2x2x2): lower {t_lower:.1f}s, compile "
+          f"{time.time() - t0:.1f}s, "
+          f"flops={compiled.cost_analysis().get('flops', float('nan')):.3g}")
+
+    # 4) predict batch-sharded over both DP tiers (replica x data) of the
+    # multislice mesh — the eval-sweep sharding a pod deployment would use.
+    ms_predict = make_predict_fn(cfg, img, "Industrial",
+                                 compute_dtype=jnp.bfloat16, mesh=ms_mesh)
+    frozen_ms_rep = with_sharding(frozen_s,
+                                  jax.tree.map(lambda _: ms_rep, frozen_s))
+    t0 = time.time()
+    lowered = ms_predict.lower(frozen_ms_rep, trainable_ms, ms_args[0],
+                               ms_args[3])
+    t_lower = time.time() - t0
+    t0 = time.time()
+    compiled = lowered.compile()
+    print(f"predict_multislice(2x2x2): lower {t_lower:.1f}s, compile "
+          f"{time.time() - t0:.1f}s, "
+          f"flops={compiled.cost_analysis().get('flops', float('nan')):.3g}")
+    print("AOT smoke OK: ViT-L/518 DP(+TP) and multislice programs "
+          "partition and compile")
 
 
 if __name__ == "__main__":
