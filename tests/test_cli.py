@@ -123,3 +123,22 @@ def test_bench_sweep_configs():
         _sweep_configs("16,fast", 16, True)
     with pytest.raises(ValueError, match="positive"):
         _sweep_configs("16,0", 16, True)
+
+
+def test_bench_median_spread_helpers(monkeypatch):
+    """Median-of-N bench statistics: median + (max-min)/median spread, and
+    the AACLIP_BENCH_REPEATS knob (>=1, default 3)."""
+    from aa_clip_iqm_tpu.cli.bench import _median_spread, _repeats
+
+    med, spread = _median_spread([100.0, 110.0, 105.0])
+    assert med == 105.0
+    np.testing.assert_allclose(spread, 100.0 * 10.0 / 105.0)
+    med, spread = _median_spread([50.0])
+    assert (med, spread) == (50.0, 0.0)
+
+    monkeypatch.delenv("AACLIP_BENCH_REPEATS", raising=False)
+    assert _repeats() == 3
+    monkeypatch.setenv("AACLIP_BENCH_REPEATS", "5")
+    assert _repeats() == 5
+    monkeypatch.setenv("AACLIP_BENCH_REPEATS", "0")
+    assert _repeats() == 1
