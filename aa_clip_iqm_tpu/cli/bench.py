@@ -476,9 +476,15 @@ def main():
                                     os.environ.get("AACLIP_BENCH_QUANT"),
                                     cfg=cfg)
 
+    # Default batch: the measured per-tier single-chip optimum @518
+    # (r5 sweeps, spreads <=0.2%): bf16 peaks at 32 (120.4 img/s vs 118.7
+    # @16, 119.3 @24) while the int8 tiers peak at 16 (142.0 vs 140.8 @32 —
+    # the int8 MLP kernel's tuning is batch-16-shaped). AACLIP_BENCH_BATCH
+    # overrides either (16 was the r1-r4 default, for continuity).
+    default_batch = 16 if os.environ.get("AACLIP_BENCH_QUANT") else 32
     configs = _sweep_configs(
         os.environ.get("AACLIP_BENCH_SWEEP"),
-        int(os.environ.get("AACLIP_BENCH_BATCH", 16)),
+        int(os.environ.get("AACLIP_BENCH_BATCH", default_batch)),
         os.environ.get("AACLIP_BENCH_PALLAS", "1") == "1")
 
     best, best_spread = 0.0, 0.0
