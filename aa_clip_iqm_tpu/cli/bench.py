@@ -132,7 +132,11 @@ def bench_train():
                                     os.environ.get("AACLIP_BENCH_QUANT"),
                                     cfg=cfg)
     trainable = init_trainable(cfg)
-    train_cfg = TrainConfig(img_size=img, compute_dtype="bfloat16")
+    # AACLIP_BENCH_ACCUM=K: measure the grad-accum scan (batch must divide
+    # by K); 1 (default) is the plain full-batch step.
+    accum = int(os.environ.get("AACLIP_BENCH_ACCUM", 1))
+    train_cfg = TrainConfig(img_size=img, compute_dtype="bfloat16",
+                            grad_accum_steps=accum)
     tx = optim.stage2_optimizer(trainable, train_cfg.image_lr, 100)
     opt_state = tx.init(trainable)
     step = steps.make_stage2_step(cfg, train_cfg, tx,

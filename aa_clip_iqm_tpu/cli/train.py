@@ -60,6 +60,9 @@ def build_parser():
                         "stages (0 = epoch-only, the reference behavior); "
                         "an interrupted run resumes at (epoch, step) with "
                         "bit-identical results")
+    parser.add_argument("--sync_step_checkpoints", action="store_true",
+                        help="write step checkpoints synchronously instead "
+                        "of on the overlapped background writer (debugging)")
     # hyper-parameters
     parser.add_argument("--text_norm_weight", type=float, default=0.1)
     parser.add_argument("--text_adapt_weight", type=float, default=0.1)
@@ -88,6 +91,11 @@ def build_parser():
                         "T_max=epochs cosine schedule")
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize blocks in the stage-2 backward")
+    parser.add_argument("--grad_accum", type=int, default=1,
+                        help="stage-2 gradient accumulation: scan this many "
+                        "microbatches per optimizer step (peak activation "
+                        "memory = one microbatch; exact vs full-batch — "
+                        "train/steps.py). image_batch_size must divide by it")
     parser.add_argument("--patch_dropout", type=float, default=0.0,
                         help="stage-2 patch-dropout rate (the reference "
                         "configures 0.2 but never activates it — survey Q5; "
@@ -133,8 +141,10 @@ def main():
         iqm_loss_weight=args.iqm_weight, seed=args.seed,
         save_path=args.save_path, compute_dtype=args.compute_dtype,
         torch_lr_quirk=args.torch_lr_quirk, remat=args.remat,
+        grad_accum_steps=args.grad_accum,
         keep_checkpoints=args.keep_checkpoints,
         checkpoint_every_steps=args.checkpoint_every_steps,
+        async_step_checkpoint=not args.sync_step_checkpoints,
         clip_grad_norm=args.clip_grad_norm,
     )
     if args.debug_nans:

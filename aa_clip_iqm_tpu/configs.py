@@ -199,10 +199,26 @@ class TrainConfig:
     # reference's epoch-only granularity, train.py:105-113/225-236). When
     # set, an interrupted run resumes at (epoch, step) with bit-identical
     # results vs an uninterrupted one (tests/test_step_checkpoint.py):
-    # epoch data order is a pure function of (seed, epoch). Each save is a
-    # synchronous host fetch of params+opt state, so size the interval to
-    # minutes of step time, not single steps.
+    # epoch data order is a pure function of (seed, epoch).
     checkpoint_every_steps: int = 0
+    # Overlap step-checkpoint writes with training (default): the step loop
+    # only dispatches device-side snapshot copies; the host fetch + orbax
+    # write run on a background thread (train/driver._StepSaver), so the
+    # interval can be sized in steps rather than minutes. False restores
+    # the synchronous save (each one stalls the loop for the full host
+    # fetch over the ~150 MB/s link).
+    async_step_checkpoint: bool = True
+    # Stage-2 gradient accumulation (1 = off). The jitted step scans over
+    # this many microbatches so peak activation memory is one microbatch's;
+    # results are exact vs the unaccumulated step (weight-aware numerator
+    # accumulation, train/steps.py). Batches are padded to
+    # lcm(device_count, grad_accum_steps). No reference analogue (the
+    # reference is single-GPU full-batch). Stage 1 deliberately has no
+    # accumulation: its memory is dominated by the batch-independent
+    # prompt-ensemble text forward, and its orthogonality regularizer is a
+    # squared *global* weighted mean that does not decompose over
+    # microbatches.
+    grad_accum_steps: int = 1
 
 
 @dataclass

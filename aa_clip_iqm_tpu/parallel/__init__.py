@@ -1,1 +1,1 @@
-from . import mesh  # noqa: F401
+from . import mesh, multihost  # noqa: F401

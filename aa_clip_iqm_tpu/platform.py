@@ -15,3 +15,10 @@ def apply_platform_override():
         import jax
 
         jax.config.update("jax_platforms", plat)
+    if os.environ.get("AACLIP_MULTIHOST") == "1":
+        # Pod deployments: every process must join the distributed runtime
+        # before its first backend touch (parallel/multihost.py). No-op
+        # unless explicitly opted in.
+        from .parallel.multihost import maybe_initialize
+
+        maybe_initialize()

@@ -27,7 +27,9 @@ from __future__ import annotations
 
 import functools
 import json
+import math
 import os
+import threading
 import time
 from typing import Dict, Optional
 
@@ -89,6 +91,56 @@ def _append_scalars(save_path: str, stage: str, epoch: int, first_step: int,
                 "wall_ms": round(float(wall_ms[i]), 3)}) + "\n")
 
 
+class _StepSaver:
+    """Overlapped mid-epoch checkpoint writer.
+
+    save() snapshots params/opt_state with device-side copies (async
+    dispatch, ~free) and hands the host fetch + orbax write to a background
+    thread, so the step loop never stalls on the slow host link (this host's
+    device->host path is ~150 MB/s; a flagship params+opt fetch is seconds).
+    The device copy is what makes this safe under buffer donation: it is
+    enqueued before the next step's donation, so the snapshot reads the
+    pre-donation values and the checkpoint is exactly the state at (epoch,
+    step) regardless of how far training has advanced by the time the write
+    lands. At most one save is in flight; errors surface at the next
+    save()/wait(). Callers must wait() before the epoch-tier save/clear (a
+    concurrent rmtree would race the write) and on loop exit.
+    """
+
+    def __init__(self, use_async: bool = True):
+        self.use_async = use_async
+        self._thread = None
+        self._err = None
+
+    def save(self, save_path: str, stage: str, epoch: int, step: int,
+             params, opt_state):
+        if not self.use_async:
+            ckpt.save_step(save_path, stage, epoch, step, params, opt_state)
+            return
+        self.wait()
+        snap = jax.tree.map(
+            lambda x: x.copy() if isinstance(x, jax.Array) else x,
+            (params, opt_state))
+
+        def work():
+            try:
+                ckpt.save_step(save_path, stage, epoch, step, *snap)
+            except BaseException as e:  # surfaced on the main thread
+                self._err = e
+
+        self._thread = threading.Thread(
+            target=work, name=f"step-ckpt-{stage}", daemon=True)
+        self._thread.start()
+
+    def wait(self):
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+
+
 def _load_step_resume(train_cfg: TrainConfig, stage: str, params, opt_state,
                       start_epoch: int, logger):
     """Mid-epoch resume point, if one exists for the in-progress epoch.
@@ -139,48 +191,61 @@ def run_stage1(frozen, trainable, model_cfg: ModelConfig,
 
     n_dev = 1 if mesh is None else mesh.devices.size
     every = train_cfg.checkpoint_every_steps
-    for epoch in range(start_epoch, train_cfg.text_epoch):
-        first = start_step if epoch == start_epoch else 0
-        logger.info("training text epoch %d:", epoch)
-        losses, wall_ms = [], []
-        t0 = time.time()
-        t_prev = time.perf_counter()
-        for i, batch in enumerate(prefetch(text_dataset.epoch_batches(
-                epoch, train_cfg.text_batch_size, start_batch=first))):
-            step = first + i
-            batch, n_valid = _pad_batch(batch, n_dev)
-            images = jnp.asarray(batch["image"])
-            masks = jnp.asarray(batch["mask"])
-            class_idx = jnp.asarray(
-                [class_to_idx[c] for c in batch["class_name"]], jnp.int32)
-            weights = jnp.asarray(
-                (np.arange(images.shape[0]) < n_valid).astype(np.float32))
-            patch_feats = visual_fn(frozen, images)
-            text_params, opt_state, loss = step_fn(
-                text_params, opt_state, frozen, patch_feats, masks, class_idx,
-                weights)
-            # keep the loss on device: fetching per step would synchronize
-            # the dispatch pipeline every iteration
-            losses.append(loss)
-            now = time.perf_counter()
-            wall_ms.append((now - t_prev) * 1e3)
-            t_prev = now
-            if every > 0 and (step + 1) % every == 0:
-                ckpt.save_step(train_cfg.save_path, "stage1", epoch, step + 1,
+    saver = _StepSaver(train_cfg.async_step_checkpoint)
+    try:
+        for epoch in range(start_epoch, train_cfg.text_epoch):
+            first = start_step if epoch == start_epoch else 0
+            logger.info("training text epoch %d:", epoch)
+            losses, wall_ms = [], []
+            t0 = time.time()
+            t_prev = time.perf_counter()
+            for i, batch in enumerate(prefetch(text_dataset.epoch_batches(
+                    epoch, train_cfg.text_batch_size, start_batch=first))):
+                step = first + i
+                batch, n_valid = _pad_batch(batch, n_dev)
+                images = jnp.asarray(batch["image"])
+                masks = jnp.asarray(batch["mask"])
+                class_idx = jnp.asarray(
+                    [class_to_idx[c] for c in batch["class_name"]], jnp.int32)
+                weights = jnp.asarray(
+                    (np.arange(images.shape[0]) < n_valid).astype(np.float32))
+                patch_feats = visual_fn(frozen, images)
+                text_params, opt_state, loss = step_fn(
+                    text_params, opt_state, frozen, patch_feats, masks,
+                    class_idx, weights)
+                # keep the loss on device: fetching per step would synchronize
+                # the dispatch pipeline every iteration
+                losses.append(loss)
+                now = time.perf_counter()
+                wall_ms.append((now - t_prev) * 1e3)
+                t_prev = now
+                if every > 0 and (step + 1) % every == 0:
+                    saver.save(train_cfg.save_path, "stage1", epoch, step + 1,
                                text_params, opt_state)
-                t_prev = time.perf_counter()  # exclude the save from wall_ms
-        if losses:
-            loss_host = np.asarray(jnp.stack(losses))  # ONE device fetch
-            mean_loss = float(loss_host.mean())
-            _append_scalars(train_cfg.save_path, "stage1", epoch, first,
-                            loss_host, np.full(len(losses), train_cfg.text_lr),
-                            wall_ms)
-        else:
-            mean_loss = float("nan")
-        logger.info("loss: %f (%.1fs)", mean_loss, time.time() - t0)
-        ckpt.save_stage1(train_cfg.save_path, epoch + 1, text_params, opt_state)
-        if every > 0:
-            ckpt.clear_step(train_cfg.save_path, "stage1")
+                    t_prev = time.perf_counter()  # exclude save dispatch
+            if losses:
+                loss_host = np.asarray(jnp.stack(losses))  # ONE device fetch
+                mean_loss = float(loss_host.mean())
+                _append_scalars(train_cfg.save_path, "stage1", epoch, first,
+                                loss_host,
+                                np.full(len(losses), train_cfg.text_lr),
+                                wall_ms)
+            else:
+                mean_loss = float("nan")
+            logger.info("loss: %f (%.1fs)", mean_loss, time.time() - t0)
+            saver.wait()  # epoch-tier save/clear must not race a step write
+            ckpt.save_stage1(train_cfg.save_path, epoch + 1, text_params,
+                             opt_state)
+            if every > 0:
+                ckpt.clear_step(train_cfg.save_path, "stage1")
+    finally:
+        # On an interruption (the outage path this tier exists for), let the
+        # in-flight snapshot land: it is a consistent (epoch, step) state.
+        # Save errors here must not mask the original exception.
+        try:
+            saver.wait()
+        except Exception:
+            logger.exception("in-flight step checkpoint failed during unwind")
 
     trainable = dict(trainable)
     trainable["text_adapter"] = text_params
@@ -232,6 +297,12 @@ def run_stage2(frozen, trainable, model_cfg: ModelConfig,
                train_cfg: TrainConfig, image_dataset, anchors, logger,
                mesh=None, use_pallas: bool = False):
     dtype = _dtype(train_cfg.compute_dtype)
+    if train_cfg.grad_accum_steps > 1 \
+            and train_cfg.image_batch_size % train_cfg.grad_accum_steps:
+        raise ValueError(
+            f"image_batch_size={train_cfg.image_batch_size} must be divisible "
+            f"by grad_accum_steps={train_cfg.grad_accum_steps} (every full "
+            "batch splits into equal microbatches; only tails are padded)")
     # ceil: batches() yields the partial tail batch (reference DataLoader
     # default drop_last=False, train.py:394-396), so the schedule must count
     # it too.
@@ -277,60 +348,74 @@ def run_stage2(frozen, trainable, model_cfg: ModelConfig,
     patch_drop = model_cfg.clip.vision.patch_dropout > 0.0
 
     n_dev = 1 if mesh is None else mesh.devices.size
+    # Tail batches must stay divisible into grad_accum microbatches too.
+    pad_multiple = math.lcm(n_dev, max(1, train_cfg.grad_accum_steps))
     every = train_cfg.checkpoint_every_steps
-    for epoch in range(start_epoch, train_cfg.image_epoch):
-        first = start_step if epoch == start_epoch else 0
-        logger.info("training image epoch %d:", epoch)
-        if patch_drop:
-            # Per-epoch base key; the per-step key is fold_in(base, step) so
-            # a mid-epoch resume re-derives the exact mask sequence without
-            # replaying the consumed steps' splits.
-            drop_rng = jax.random.fold_in(
-                jax.random.PRNGKey(train_cfg.seed), epoch)
-        losses, wall_ms = [], []
-        t0 = time.time()
-        t_prev = time.perf_counter()
-        for i, batch in enumerate(prefetch(image_dataset.epoch_batches(
-                epoch, train_cfg.image_batch_size, start_batch=first))):
-            step = first + i
-            batch, n_valid = _pad_batch(batch, n_dev)
-            anchor_stack = jnp.stack(
-                [anchors[c] for c in batch["class_name"]], axis=0)
-            weights = jnp.asarray(
-                (np.arange(batch["image"].shape[0]) < n_valid)
-                .astype(np.float32))
-            step_args = (trainable, opt_state, frozen,
-                         jnp.asarray(batch["image"]),
-                         jnp.asarray(batch["mask"]),
-                         jnp.asarray(batch["label"]), anchor_stack, weights)
+    saver = _StepSaver(train_cfg.async_step_checkpoint)
+    try:
+        for epoch in range(start_epoch, train_cfg.image_epoch):
+            first = start_step if epoch == start_epoch else 0
+            logger.info("training image epoch %d:", epoch)
             if patch_drop:
-                trainable, opt_state, loss = step_fn(
-                    *step_args, jax.random.fold_in(drop_rng, step))
-            else:
-                trainable, opt_state, loss = step_fn(*step_args)
-            losses.append(loss)
-            now = time.perf_counter()
-            wall_ms.append((now - t_prev) * 1e3)
-            t_prev = now
-            if every > 0 and (step + 1) % every == 0:
-                ckpt.save_step(train_cfg.save_path, "stage2", epoch, step + 1,
+                # Per-epoch base key; the per-step key is fold_in(base, step)
+                # so a mid-epoch resume re-derives the exact mask sequence
+                # without replaying the consumed steps' splits.
+                drop_rng = jax.random.fold_in(
+                    jax.random.PRNGKey(train_cfg.seed), epoch)
+            losses, wall_ms = [], []
+            t0 = time.time()
+            t_prev = time.perf_counter()
+            for i, batch in enumerate(prefetch(image_dataset.epoch_batches(
+                    epoch, train_cfg.image_batch_size, start_batch=first))):
+                step = first + i
+                batch, n_valid = _pad_batch(batch, pad_multiple)
+                anchor_stack = jnp.stack(
+                    [anchors[c] for c in batch["class_name"]], axis=0)
+                weights = jnp.asarray(
+                    (np.arange(batch["image"].shape[0]) < n_valid)
+                    .astype(np.float32))
+                step_args = (trainable, opt_state, frozen,
+                             jnp.asarray(batch["image"]),
+                             jnp.asarray(batch["mask"]),
+                             jnp.asarray(batch["label"]), anchor_stack,
+                             weights)
+                if patch_drop:
+                    trainable, opt_state, loss = step_fn(
+                        *step_args, jax.random.fold_in(drop_rng, step))
+                else:
+                    trainable, opt_state, loss = step_fn(*step_args)
+                losses.append(loss)
+                now = time.perf_counter()
+                wall_ms.append((now - t_prev) * 1e3)
+                t_prev = now
+                if every > 0 and (step + 1) % every == 0:
+                    # Snapshot-by-copy keeps this safe under donation: the
+                    # copies are enqueued before the next step consumes the
+                    # buffers (_StepSaver).
+                    saver.save(train_cfg.save_path, "stage2", epoch, step + 1,
                                trainable, opt_state)
-                t_prev = time.perf_counter()  # exclude the save from wall_ms
-        if losses:
-            loss_host = np.asarray(jnp.stack(losses))  # ONE device fetch
-            mean_loss = float(loss_host.mean())
-            g0 = epoch * steps_per_epoch + first
-            _append_scalars(train_cfg.save_path, "stage2", epoch, first,
-                            loss_host,
-                            lr_sched(jnp.arange(g0, g0 + len(losses))),
-                            wall_ms)
-        else:
-            mean_loss = float("nan")
-        logger.info("loss: %f (%.1fs)", mean_loss, time.time() - t0)
-        ckpt.save_stage2(train_cfg.save_path, epoch + 1, trainable, opt_state,
-                         keep_last=train_cfg.keep_checkpoints)
-        if every > 0:
-            ckpt.clear_step(train_cfg.save_path, "stage2")
+                    t_prev = time.perf_counter()  # exclude save dispatch
+            if losses:
+                loss_host = np.asarray(jnp.stack(losses))  # ONE device fetch
+                mean_loss = float(loss_host.mean())
+                g0 = epoch * steps_per_epoch + first
+                _append_scalars(train_cfg.save_path, "stage2", epoch, first,
+                                loss_host,
+                                lr_sched(jnp.arange(g0, g0 + len(losses))),
+                                wall_ms)
+            else:
+                mean_loss = float("nan")
+            logger.info("loss: %f (%.1fs)", mean_loss, time.time() - t0)
+            saver.wait()  # epoch-tier save/clear must not race a step write
+            ckpt.save_stage2(train_cfg.save_path, epoch + 1, trainable,
+                             opt_state, keep_last=train_cfg.keep_checkpoints)
+            if every > 0:
+                ckpt.clear_step(train_cfg.save_path, "stage2")
+    finally:
+        try:
+            saver.wait()
+        except Exception:
+            logger.exception("in-flight step checkpoint failed during unwind")
     return trainable
 
 

@@ -159,11 +159,24 @@ def make_stage2_step(cfg: ModelConfig, train_cfg: TrainConfig,
     and trains on the kept tokens only: the seg losses then run at token
     resolution against per-cell mask fractions (seg_loss_tokens) since the
     kept tokens no longer form a full grid.
+
+    Gradient accumulation (train_cfg.grad_accum_steps > 1, no reference
+    analogue — the reference is single-GPU full-batch only): the batch is
+    split into grad_accum_steps microbatches processed by one lax.scan, so
+    peak activation memory is that of a single microbatch. The result is
+    EXACT: every loss term is ``const + weighted-mean`` over per-sample
+    values (ops/losses.py), so accumulating per-microbatch numerators
+    ``loss_k * sum(w_k)`` and dividing by the total valid weight reproduces
+    the full-batch loss and gradients up to fp32 summation order
+    (tests/test_grad_accum.py). With patch dropout the per-microbatch key is
+    fold_in(step_rng, k), so the draw differs from the unaccumulated run
+    (the masks are still deterministic in (seed, epoch, step, k)).
     """
     img_size = train_cfg.img_size
     text_w = train_cfg.text_loss_weight
     iqm_w = train_cfg.iqm_loss_weight
     det_w = train_cfg.det_loss_weight
+    grad_accum = max(1, int(getattr(train_cfg, "grad_accum_steps", 1)))
 
     remat = train_cfg.remat
     patch_drop = cfg.clip.vision.patch_dropout > 0.0
@@ -215,10 +228,70 @@ def make_stage2_step(cfg: ModelConfig, train_cfg: TrainConfig,
             total += seg_loss(iqm_map, masks, sample_weight=weights) * iqm_w * 0.5
         return total
 
+    def _accum_value_and_grad(trainable, frozen, images, masks, labels,
+                              anchors, weights, rng):
+        """(loss, grads) over grad_accum microbatches via lax.scan.
+
+        Exactness: each loss term is ``const + sum(per_sample*w)/max(sum w, 1)``
+        with 0/1 weights, so ``loss_k * sum(w_k)`` is the exact numerator
+        contribution of microbatch k (an all-padded microbatch contributes 0)
+        and the full-batch loss is ``sum_k num_k / max(sum_k w_k, 1)`` —
+        constants reassemble because they scale with w_k."""
+        batch = images.shape[0]
+        if batch % grad_accum:
+            raise ValueError(
+                f"batch size {batch} is not divisible by grad_accum_steps="
+                f"{grad_accum}; the driver pads batches to "
+                "lcm(device_count, grad_accum_steps)")
+        micro = batch // grad_accum
+
+        def split(x):
+            return x.reshape((grad_accum, micro) + x.shape[1:])
+
+        xs = jax.tree.map(split, (images, masks, labels, anchors, weights))
+        if mesh is not None:
+            # Keep the microbatch axis (now axis 1) sharded over the
+            # data-parallel tiers; the scan axis is unsharded.
+            from ..parallel.mesh import _data_axes
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(mesh, P(None, _data_axes(mesh)))
+            xs = jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(x, sh), xs)
+
+        def numerator(trainable, mb, rng_k):
+            mb_images, mb_masks, mb_labels, mb_anchors, mb_weights = mb
+            w_sum = jnp.sum(mb_weights.astype(jnp.float32))
+            loss = loss_fn(trainable, frozen, mb_images, mb_masks, mb_labels,
+                           mb_anchors, mb_weights, rng_k)
+            return loss * w_sum, w_sum
+
+        def body(carry, scanned):
+            g_acc, num_acc, w_acc = carry
+            k, mb = scanned
+            rng_k = None if rng is None else jax.random.fold_in(rng, k)
+            (num, w_sum), g = jax.value_and_grad(
+                numerator, has_aux=True)(trainable, mb, rng_k)
+            return (jax.tree.map(jnp.add, g_acc, g),
+                    num_acc + num, w_acc + w_sum), None
+
+        g_zero = jax.tree.map(jnp.zeros_like, trainable)
+        (g_sum, num, w_tot), _ = jax.lax.scan(
+            body, (g_zero, jnp.float32(0.0), jnp.float32(0.0)),
+            (jnp.arange(grad_accum), xs))
+        denom = jnp.maximum(w_tot, 1.0)
+        return num / denom, jax.tree.map(lambda g: g / denom, g_sum)
+
     def step(trainable, opt_state, frozen, images, masks, labels, anchors,
              weights, rng=None):
-        loss, grads = jax.value_and_grad(loss_fn)(
-            trainable, frozen, images, masks, labels, anchors, weights, rng)
+        if grad_accum > 1:
+            loss, grads = _accum_value_and_grad(
+                trainable, frozen, images, masks, labels, anchors, weights,
+                rng)
+        else:
+            loss, grads = jax.value_and_grad(loss_fn)(
+                trainable, frozen, images, masks, labels, anchors, weights,
+                rng)
         if clip_grad_norm is not None:
             from .optim import clip_stage2_grads
 

@@ -207,3 +207,46 @@ def test_multislice_mesh_validates_device_count():
     with pytest.raises(ValueError, match="data axis"):
         mesh_mod.make_multislice_mesh(len(devices), n_model=2,
                                       devices=devices)
+
+
+# ----------------------------------------------------------------------
+# Multi-host readiness (parallel/multihost.py) — validated at the only
+# process count this machine has (1); the multi-process branches follow the
+# documented JAX contract and need a real pod.
+# ----------------------------------------------------------------------
+
+def test_multihost_noop_without_optin(monkeypatch):
+    from aa_clip_iqm_tpu.parallel import multihost
+
+    monkeypatch.delenv("AACLIP_MULTIHOST", raising=False)
+    assert multihost.maybe_initialize() is False
+
+
+def test_process_local_rows_single_process():
+    from aa_clip_iqm_tpu.parallel import multihost
+
+    mesh = mesh_mod.make_mesh()
+    assert multihost.process_local_rows(mesh, 16) == (0, 16)
+    # 'model'-axis replicas share rows; dedup must keep the range exact
+    tp = mesh_mod.make_mesh(n_data=4, n_model=2)
+    assert multihost.process_local_rows(tp, 8) == (0, 8)
+    ms = mesh_mod.make_multislice_mesh(n_slices=2, n_data=2, n_model=2)
+    assert multihost.process_local_rows(ms, 4) == (0, 4)
+
+
+def test_global_device_batch_matches_device_put():
+    from aa_clip_iqm_tpu.parallel import multihost
+
+    mesh = mesh_mod.make_mesh()
+    rng = np.random.default_rng(11)
+    batch = {
+        "image": rng.standard_normal((8, 3, 8, 8)).astype(np.float32),
+        "label": rng.integers(0, 2, 8).astype(np.int64),
+        "class_name": ["a"] * 8,
+    }
+    out = multihost.global_device_batch(mesh, batch, global_batch=8)
+    assert out["class_name"] == ["a"] * 8  # non-arrays pass through
+    want = mesh_mod.batch_sharding(mesh)
+    for key in ("image", "label"):
+        assert out[key].sharding.is_equivalent_to(want, out[key].ndim)
+        np.testing.assert_array_equal(np.asarray(out[key]), batch[key])

@@ -235,3 +235,53 @@ def test_scalars_schema_and_lr(synth, model, data, tmp_path):
     sched = optim.cosine_annealing(train_cfg.image_lr, 4)
     for g, r in enumerate(s2):
         np.testing.assert_allclose(r["lr"], float(sched(g)), rtol=1e-6)
+
+
+def test_async_saver_snapshot_survives_donation(tmp_path):
+    """_StepSaver must checkpoint the state AT save time: the device-copy
+    snapshot is enqueued before the next step donates/overwrites the
+    buffers, so the background write sees pre-donation values."""
+    import jax.numpy as jnp
+
+    from aa_clip_iqm_tpu.train import checkpoint as ckpt
+    from aa_clip_iqm_tpu.train.driver import _StepSaver
+
+    params = {"w": jnp.arange(8, dtype=jnp.float32)}
+    opt = {"mu": jnp.ones(8, jnp.float32)}
+    saver = _StepSaver(use_async=True)
+    saver.save(str(tmp_path), "stage2", 3, 7, params, opt)
+
+    # Simulate the next training step consuming the buffers via donation.
+    bump = jax.jit(lambda x: x + 100.0, donate_argnums=0)
+    params = {"w": bump(params["w"])}
+    opt = {"mu": bump(opt["mu"])}
+    saver.wait()
+
+    restored = ckpt.load_step(str(tmp_path), "stage2",
+                              {"w": jnp.zeros(8, jnp.float32)},
+                              {"mu": jnp.zeros(8, jnp.float32)})
+    assert restored["epoch"] == 3 and restored["step"] == 7
+    np.testing.assert_array_equal(np.asarray(restored["params"]["w"]),
+                                  np.arange(8, dtype=np.float32))
+    np.testing.assert_array_equal(np.asarray(restored["opt_state"]["mu"]),
+                                  np.ones(8, np.float32))
+
+
+def test_async_saver_surfaces_write_errors(tmp_path, monkeypatch):
+    """A failed background write raises on the next wait(), not silently."""
+    import jax.numpy as jnp
+
+    from aa_clip_iqm_tpu.train import checkpoint as ckpt
+    from aa_clip_iqm_tpu.train.driver import _StepSaver
+
+    def boom(*a, **k):
+        raise RuntimeError("disk full")
+
+    monkeypatch.setattr(ckpt, "save_step", boom)
+    saver = _StepSaver(use_async=True)
+    saver.save(str(tmp_path), "stage1", 0, 1,
+               {"w": jnp.zeros(2)}, {"mu": jnp.zeros(2)})
+    with pytest.raises(RuntimeError, match="disk full"):
+        saver.wait()
+    # the error is consumed: a subsequent wait is clean
+    saver.wait()
