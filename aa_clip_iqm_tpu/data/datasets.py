@@ -462,8 +462,17 @@ def prefetch(iterator, depth: int = 2):
 
 
 def collate(items: List[dict]) -> dict:
+    """Stack sample dicts into a batch. Images keep uint8 (the
+    device_normalize transfer format — a float32 cast here would both
+    quadruple the host->device bytes AND make the predict program skip its
+    on-device CLIP normalization, silently running the backbone on raw
+    0..255 pixels); float images are host-normalized already and stay
+    float32."""
+    img = np.stack([it["image"] for it in items])
+    if img.dtype != np.uint8:
+        img = img.astype(np.float32)
     out = {
-        "image": np.stack([it["image"] for it in items]).astype(np.float32),
+        "image": img,
         "mask": np.stack([it["mask"] for it in items]).astype(np.float32),
         "label": np.asarray([it["label"] for it in items], np.int64),
         "file_name": [it["file_name"] for it in items],

@@ -178,6 +178,39 @@ def test_zero_shot_predict_without_training(synth, model):
     assert len(rows) == 2  # one class + Average
 
 
+def test_device_normalize_eval_matches_host_normalized(synth, model):
+    """The device_normalize eval path (uint8 transfer + on-device CLIP
+    normalization — what cli/evaluate.py and the eval bench ship) must
+    produce the same metrics as the host-normalized float path.
+
+    Regression guard for a real bug: collate() used to cast the uint8
+    images to float32, so predict_fn saw float inputs, skipped its
+    on-device normalization, and ran the backbone on raw 0..255 pixels —
+    per-item parity tests (test_datasets) never caught it because only
+    batches() goes through collate."""
+    _, metadata_root = synth
+    cfg, frozen, trainable = model
+    anchors = compute_frozen_anchors(frozen, trainable, cfg, "Synth",
+                                     adapted=False)
+    eval_cfg = EvalConfig(dataset="Synth", img_size=IMG, batch_size=3,
+                          compute_dtype="float32")
+    rows = {}
+    for dev_norm in (False, True):
+        datasets = get_dataset("Synth", IMG, None, -1, "test",
+                               metadata_root=metadata_root,
+                               device_normalize=dev_norm)
+        if dev_norm:  # the batch (not just the item) must stay uint8
+            batch = next(iter(datasets.values())).batches(3).__next__()
+            assert batch["image"].dtype == np.uint8
+        rows[dev_norm] = evaluate_dataset(frozen, trainable, cfg, eval_cfg,
+                                          datasets, anchors)
+    for host_row, dev_row in zip(rows[False], rows[True]):
+        for key in ("pixel AUC", "pixel AP", "image AUC", "image AP"):
+            # identical fp32 normalization math -> metrics match tightly
+            assert abs(host_row[key] - dev_row[key]) < 0.05, (
+                key, host_row, dev_row)
+
+
 def test_image_score_mode_dispatch(model):
     """make_predict_fn's image_score_mode switches between the shipped
     per-sample score and the executed-reference transcription (survey Q11);
